@@ -1,0 +1,120 @@
+"""Training losses: Lovász-Softmax, NLL, L1, top-k focal (OHEM-style).
+
+Parity notes vs the reference:
+  * LovaszLoss (models/lovasz_loss.py:18-106): multi-class Lovász-Softmax.
+    The reference gathers out void (ignore_index) pixels; under jit that is a
+    dynamic shape, so we instead force void pixels' errors to 0 and their fg
+    indicator to 0 — they sort to the tail of the descending error sort and
+    contribute exactly 0 to the ``errors_sorted . lovasz_grad`` dot product,
+    reproducing the gathered result (tested against a torch golden impl).
+  * nll_loss mirrors torch.nn.NLLLoss(ignore_index=...), mean over
+    non-ignored elements.
+  * focal_loss mirrors models/focal_loss.py:12-31 (top-k of per-pixel NLL;
+    defined-but-unused by reference training — provided for capability parity).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _lovasz_grad_from_sorted(fg_sorted: jnp.ndarray) -> jnp.ndarray:
+    """Gradient of the Lovász extension w.r.t. sorted errors (Alg. 1)."""
+    gts = jnp.sum(fg_sorted)
+    intersection = gts - jnp.cumsum(fg_sorted, axis=0)
+    union = gts + jnp.cumsum(1.0 - fg_sorted, axis=0)
+    jaccard = 1.0 - intersection / union
+    # jaccard[1:] - jaccard[:-1], keeping jaccard[0]
+    return jnp.concatenate([jaccard[:1], jaccard[1:] - jaccard[:-1]], axis=0)
+
+
+def lovasz_loss(
+    probs: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = 255
+) -> jnp.ndarray:
+    """Multi-class Lovász-Softmax loss.
+
+    Args:
+      probs: (..., C) class probabilities in [0, 1] (channels-last; callers
+        with reference (B, C, F, H, W) layout should move C last).
+      labels: (...) int labels in [0, C-1] or ``ignore_index``.
+
+    Returns: scalar loss (mean over classes present in ``labels``).
+    """
+    C = probs.shape[-1]
+    flat_p = probs.reshape(-1, C).astype(jnp.float32)
+    flat_l = labels.reshape(-1)
+    valid = flat_l != ignore_index
+
+    def class_loss(c):
+        fg = ((flat_l == c) & valid).astype(jnp.float32)
+        errors = jnp.abs(fg - flat_p[:, c])
+        errors = jnp.where(valid, errors, 0.0)  # void pixels sort to the tail
+        order = jnp.argsort(-errors)
+        errors_sorted = errors[order]
+        fg_sorted = fg[order]
+        loss_c = jnp.dot(errors_sorted, _lovasz_grad_from_sorted(fg_sorted))
+        present = jnp.sum(fg) > 0
+        return jnp.where(present, loss_c, 0.0), present.astype(jnp.float32)
+
+    losses, present = jax.vmap(class_loss)(jnp.arange(C))
+    n_present = jnp.sum(present)
+    return jnp.where(n_present > 0, jnp.sum(losses) / jnp.maximum(n_present, 1.0), 0.0)
+
+
+def nll_loss(
+    log_probs: jnp.ndarray, labels: jnp.ndarray, ignore_index: int = 255
+) -> jnp.ndarray:
+    """torch.nn.NLLLoss parity: mean of -log_probs[label] over non-ignored.
+
+    Args:
+      log_probs: (..., C) log-probabilities, channels-last.
+      labels: (...) int labels.
+    """
+    C = log_probs.shape[-1]
+    flat_lp = log_probs.reshape(-1, C)
+    flat_l = labels.reshape(-1)
+    valid = flat_l != ignore_index
+    safe_l = jnp.where(valid, flat_l, 0).astype(jnp.int32)
+    picked = jnp.take_along_axis(flat_lp, safe_l[:, None], axis=1)[:, 0]
+    losses = jnp.where(valid, -picked, 0.0)
+    n = jnp.sum(valid)
+    return jnp.sum(losses) / jnp.maximum(n, 1)
+
+
+def l1_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """torch.nn.L1Loss parity: mean absolute error."""
+    return jnp.mean(jnp.abs(pred - target))
+
+
+def focal_loss(
+    log_probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    top_k: float,
+    ignore_index: int = 255,
+    step_percent: float = 0.0,
+) -> jnp.ndarray:
+    """Top-k (OHEM-like) NLL, mirroring reference models/focal_loss.py:12-31.
+
+    Args:
+      log_probs: (B, N, H, W, K) per-frame class log-probs, channels-last
+        (the reference uses (B, K, N, H, W) and permutes internally).
+      labels: (B, N, H, W) int labels.
+      top_k: fraction of pixels kept once ``step_percent`` reaches 1.
+      step_percent: anneal knob; must be a static Python float.
+    """
+    B, N, H, W, K = log_probs.shape
+    step_percent = min(float(step_percent), 1.0)
+    flat_lp = log_probs.reshape(B * N, H * W, K)
+    flat_l = labels.reshape(B * N, H * W)
+
+    valid = flat_l != ignore_index
+    safe_l = jnp.where(valid, flat_l, 0).astype(jnp.int32)
+    picked = jnp.take_along_axis(flat_lp, safe_l[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, -picked, 0.0)  # torch nll reduction='none' gives 0 on ignored
+
+    n_pixels = H * W
+    n_top_k = int(step_percent * top_k * n_pixels + (1 - step_percent) * n_pixels)
+    n_top_k = max(min(n_top_k, n_pixels), 1)
+    top_vals, _ = jax.lax.top_k(nll, n_top_k)
+    return jnp.mean(top_vals)

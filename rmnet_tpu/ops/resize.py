@@ -1,0 +1,95 @@
+"""Bilinear / nearest resize with exact torch ``F.interpolate`` semantics.
+
+The reference relies on torch's interpolation conventions in several
+numerically-sensitive places:
+  * decoder 2x/4x upsampling, align_corners=False (models/rmnet.py:117-118,139)
+  * attention-map 1/16 downsampling              (models/rmnet.py:245,356)
+  * TinyFlowNet 0.5x/8x resampling               (models/tiny_flownet.py:87-88,111)
+  * test-time multi-scale inference              (utils/helpers.py:50-62)
+
+torch bilinear uses half-pixel source centers (align_corners=False:
+``src = (dst + 0.5) * in/out - 0.5`` clamped at 0) with *no antialiasing* on
+downsample; torch 'nearest' uses ``src = floor(dst * in/out)``. Both are
+reimplemented here as separable gathers (jit/vmap-friendly, static shapes).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+
+def scale_hw(h: int, w: int, scale: float) -> Tuple[int, int]:
+    """Output size for torch ``F.interpolate(scale_factor=scale)``: floor(in*scale)."""
+    return int(h * scale), int(w * scale)
+
+
+def _linear_weights(in_size: int, out_size: int, align_corners: bool):
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    if align_corners:
+        if out_size == 1:
+            src = jnp.zeros((1,), jnp.float32)
+        else:
+            src = dst * (float(in_size - 1) / float(out_size - 1))
+    else:
+        src = (dst + 0.5) * (float(in_size) / float(out_size)) - 0.5
+        src = jnp.maximum(src, 0.0)  # torch clamps negative source coords to 0
+    i0 = jnp.floor(src).astype(jnp.int32)
+    i0 = jnp.minimum(i0, in_size - 1)
+    i1 = jnp.minimum(i0 + 1, in_size - 1)
+    w1 = src - i0.astype(jnp.float32)
+    return i0, i1, w1
+
+
+def _interp_axis(x: jnp.ndarray, axis: int, out_size: int, align_corners: bool):
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    i0, i1, w1 = _linear_weights(in_size, out_size, align_corners)
+    x0 = jnp.take(x, i0, axis=axis)
+    x1 = jnp.take(x, i1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = out_size
+    w1 = w1.reshape(shape).astype(x.dtype)
+    return x0 * (1 - w1) + x1 * w1
+
+
+def resize_bilinear(
+    x: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    spatial_axes: Tuple[int, int] = (-3, -2),
+    align_corners: bool = False,
+) -> jnp.ndarray:
+    """Separable bilinear resize matching torch ``F.interpolate(mode='bilinear')``.
+
+    Default ``spatial_axes=(-3, -2)`` fits NHWC; pass (-2, -1) for (..., H, W).
+    """
+    h_ax = spatial_axes[0] % x.ndim
+    w_ax = spatial_axes[1] % x.ndim
+    orig_dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    xf = _interp_axis(xf, h_ax, out_hw[0], align_corners)
+    xf = _interp_axis(xf, w_ax, out_hw[1], align_corners)
+    return xf.astype(orig_dtype) if jnp.issubdtype(orig_dtype, jnp.floating) else xf
+
+
+def resize_nearest(
+    x: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    spatial_axes: Tuple[int, int] = (-3, -2),
+) -> jnp.ndarray:
+    """Nearest resize matching torch ``F.interpolate(mode='nearest')``."""
+    h_ax = spatial_axes[0] % x.ndim
+    w_ax = spatial_axes[1] % x.ndim
+
+    def nearest_idx(in_size: int, out_size: int):
+        dst = jnp.arange(out_size, dtype=jnp.float32)
+        idx = jnp.floor(dst * (float(in_size) / float(out_size))).astype(jnp.int32)
+        return jnp.minimum(idx, in_size - 1)
+
+    if x.shape[h_ax] != out_hw[0]:
+        x = jnp.take(x, nearest_idx(x.shape[h_ax], out_hw[0]), axis=h_ax)
+    if x.shape[w_ax] != out_hw[1]:
+        x = jnp.take(x, nearest_idx(x.shape[w_ax], out_hw[1]), axis=w_ax)
+    return x

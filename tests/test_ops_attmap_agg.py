@@ -1,0 +1,103 @@
+"""Golden tests: regional attention map (vs numpy port of the CUDA kernel),
+soft aggregation (vs torch port of the reference loop), straight-through grad."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from rmnet_tpu.ops import regional_attention_map, soft_aggregation
+from rmnet_tpu.ops.aggregation import SUPPRESSED_LOGIT
+
+
+def numpy_reg_att_map(mask, prob_threshold=0.5, n_pts_threshold=10, loose=64):
+    """Numpy golden with the semantics of reg_att_map_generator.cu:15-93."""
+    B, K, H, W = mask.shape
+    att = np.zeros((B, K, H, W), np.float32)
+    bboxes = np.zeros((B, K, 4), np.int32)
+    for b in range(B):
+        for k in range(1, K):
+            ys, xs = np.where(mask[b, k] >= prob_threshold)
+            n_pts = len(xs)
+            if n_pts < n_pts_threshold:
+                x_min, x_max, y_min, y_max = 0, W - 1, 0, H - 1
+            else:
+                x_min = max(xs.min() - loose, 0)
+                x_max = min(xs.max() + loose, W - 1)
+                y_min = max(ys.min() - loose, 0)
+                y_max = min(ys.max() + loose, H - 1)
+            bboxes[b, k] = (x_min, x_max, y_min, y_max)
+            att[b, k, y_min : y_max + 1, x_min : x_max + 1] = 1
+    return att, bboxes
+
+
+def test_att_map_matches_cuda_semantics():
+    rs = np.random.RandomState(0)
+    B, K, H, W = 2, 4, 120, 200
+    mask = np.zeros((B, K, H, W), np.float32)
+    # object 1: a blob; object 2: sparse (< 10 pts -> whole frame); object 3: empty
+    mask[0, 1, 30:60, 50:90] = 0.9
+    mask[0, 2, 5, 5:12] = 0.8  # 7 points < 10
+    mask[1, 1, 0:10, 0:10] = 1.0  # near the border, dilate clamps
+    mask[1, 3] = rs.rand(H, W) * 0.4  # all below threshold
+    g_att, g_box = numpy_reg_att_map(mask)
+    j_att, j_box = regional_attention_map(jnp.asarray(mask))
+    np.testing.assert_array_equal(np.asarray(j_att), g_att)
+    np.testing.assert_array_equal(np.asarray(j_box), g_box)
+
+
+def test_att_map_straight_through_grad():
+    mask = jnp.asarray(np.random.RandomState(1).rand(1, 3, 16, 16).astype(np.float32))
+
+    def f(m):
+        att, _ = regional_attention_map(m)
+        return jnp.sum(att * 3.0)
+
+    grad = jax.grad(f)(mask)
+    # Reference backward = constant ones regardless of upstream cotangent.
+    np.testing.assert_array_equal(np.asarray(grad), np.ones_like(np.asarray(mask)))
+
+
+def torch_soft_aggregation(ps, K, n_objects):
+    """Verbatim semantics of reference models/rmnet.py:289-302 (test golden)."""
+    B = len(n_objects)
+    _, H, W = ps.shape
+    em = torch.zeros(B, K, H, W)
+    for i in range(B):
+        begin = sum(n_objects[:i])
+        end = begin + n_objects[i]
+        em[i, 0] = torch.prod(1 - ps[begin:end], dim=0)
+        em[i, 1 : n_objects[i] + 1] = ps[begin:end]
+    em = torch.clamp(em, 1e-7, 1 - 1e-7)
+    return torch.log(em / (1 - em))
+
+
+def test_soft_aggregation_matches_torch():
+    rs = np.random.RandomState(2)
+    K = 5
+    n_objects = [2, 3]
+    H, W = 24, 36
+    ragged = rs.rand(sum(n_objects), H, W).astype(np.float32)
+    golden = torch_soft_aggregation(torch.from_numpy(ragged), K, n_objects).numpy()
+
+    # static-K layout: scatter ragged probs into slots 1..n_obj
+    ps = np.zeros((2, K, H, W), np.float32)
+    valid = np.zeros((2, K), bool)
+    ofs = 0
+    for i, n in enumerate(n_objects):
+        ps[i, 1 : n + 1] = ragged[ofs : ofs + n]
+        valid[i, 1 : n + 1] = True
+        ofs += n
+
+    logit = soft_aggregation(jnp.asarray(ps), jnp.asarray(valid))
+    np.testing.assert_allclose(np.asarray(logit), golden, rtol=1e-4, atol=5e-4)
+
+
+def test_soft_aggregation_invalid_slots_suppressed():
+    ps = jnp.asarray(np.random.RandomState(3).rand(1, 4, 8, 8).astype(np.float32))
+    valid = jnp.asarray(np.array([[False, True, False, False]]))
+    logit = soft_aggregation(ps, valid)
+    # invalid object slots land exactly on the reference's magic constant
+    np.testing.assert_allclose(np.asarray(logit[0, 2]), SUPPRESSED_LOGIT, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(logit[0, 3]), SUPPRESSED_LOGIT, rtol=1e-5)

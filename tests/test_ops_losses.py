@@ -1,0 +1,127 @@
+"""Golden tests for losses vs torch reference implementations."""
+
+import math
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from rmnet_tpu.ops import lovasz_loss, nll_loss, l1_loss, focal_loss
+
+
+def torch_lovasz(input_t, target_t, ignore_index=255):
+    """Golden with the semantics of reference models/lovasz_loss.py:18-106."""
+    B, C, FF, H, W = input_t.size()
+    inp = input_t.permute(0, 2, 3, 4, 1).contiguous().view(-1, C)
+    tgt = target_t.view(-1)
+    valid = tgt.ne(ignore_index).nonzero(as_tuple=False).squeeze()
+    inp, tgt = inp[valid], tgt[valid]
+    if inp.numel() == 0:
+        return inp * 0.0
+    losses = []
+    for c in range(C):
+        fg = (tgt == c).float()
+        if fg.sum() == 0:
+            continue
+        errors = (fg - inp[:, c]).abs()
+        errors_sorted, perm = torch.sort(errors, 0, descending=True)
+        fg_sorted = fg[perm.data]
+        p = len(fg_sorted)
+        gts = fg_sorted.sum()
+        intersection = gts - fg_sorted.float().cumsum(0)
+        union = gts + (1 - fg_sorted).float().cumsum(0)
+        jaccard = 1.0 - intersection / union
+        if p > 1:
+            jaccard[1:p] = jaccard[1:p] - jaccard[0:-1]
+        losses.append(torch.dot(errors_sorted, jaccard))
+    if not losses:
+        return torch.tensor(0.0)
+    acc = losses[0]
+    for v in losses[1:]:
+        acc = acc + v
+    return acc / len(losses)
+
+
+def test_lovasz_matches_torch():
+    rs = np.random.RandomState(0)
+    B, C, FF, H, W = 2, 3, 2, 13, 17
+    logits = rs.rand(B, C, FF, H, W).astype(np.float32)
+    probs = torch.softmax(torch.from_numpy(logits), dim=1)
+    labels = rs.randint(0, C, size=(B, FF, H, W)).astype(np.int64)
+    labels[0, 0, :3, :] = 255  # some void pixels
+    golden = torch_lovasz(probs, torch.from_numpy(labels)).item()
+
+    # channels-last layout for our op
+    j = lovasz_loss(
+        jnp.asarray(probs.numpy().transpose(0, 2, 3, 4, 1)),
+        jnp.asarray(labels),
+        ignore_index=255,
+    )
+    assert math.isclose(float(j), golden, rel_tol=1e-4, abs_tol=1e-5)
+
+
+def test_lovasz_missing_class_skipped():
+    # class 2 absent -> only classes 0,1 averaged (reference skips fg.sum()==0)
+    rs = np.random.RandomState(1)
+    B, C, FF, H, W = 1, 4, 1, 9, 9
+    probs = torch.softmax(torch.from_numpy(rs.rand(B, C, FF, H, W).astype(np.float32)), 1)
+    labels = rs.randint(0, 2, size=(B, FF, H, W)).astype(np.int64)
+    golden = torch_lovasz(probs, torch.from_numpy(labels)).item()
+    j = lovasz_loss(
+        jnp.asarray(probs.numpy().transpose(0, 2, 3, 4, 1)), jnp.asarray(labels)
+    )
+    assert math.isclose(float(j), golden, rel_tol=1e-4, abs_tol=1e-5)
+
+
+def test_nll_matches_torch():
+    rs = np.random.RandomState(2)
+    B, C, H, W = 2, 5, 11, 7
+    logp = torch.log_softmax(torch.from_numpy(rs.rand(B, C, H, W).astype(np.float32)), 1)
+    labels = rs.randint(0, C, size=(B, H, W)).astype(np.int64)
+    labels[0, 0] = 255
+    golden = F.nll_loss(logp, torch.from_numpy(labels), ignore_index=255).item()
+    j = nll_loss(
+        jnp.asarray(logp.numpy().transpose(0, 2, 3, 1)), jnp.asarray(labels), 255
+    )
+    assert math.isclose(float(j), golden, rel_tol=1e-5, abs_tol=1e-6)
+
+
+def test_l1_matches_torch():
+    rs = np.random.RandomState(3)
+    a = rs.rand(3, 4, 5).astype(np.float32)
+    b = rs.rand(3, 4, 5).astype(np.float32)
+    golden = F.l1_loss(torch.from_numpy(a), torch.from_numpy(b)).item()
+    assert math.isclose(float(l1_loss(jnp.asarray(a), jnp.asarray(b))), golden, rel_tol=1e-6)
+
+
+def torch_focal(input_t, target_t, top_k, ignore_index, step_percent=0.0):
+    """Golden with the semantics of reference models/focal_loss.py:12-31."""
+    B, K, N, H, W = input_t.shape
+    step_percent = min(step_percent, 1.0)
+    inp = input_t.permute(0, 2, 1, 3, 4).reshape(B * N, K, H * W)
+    tgt = target_t.reshape(B * N, H * W)
+    nll = F.nll_loss(inp, tgt, ignore_index=ignore_index, reduction="none")
+    n_pixels = H * W
+    n_top_k = int(step_percent * top_k * n_pixels + (1 - step_percent) * n_pixels)
+    top, _ = torch.topk(nll, k=n_top_k)
+    return torch.mean(top)
+
+
+def test_focal_matches_torch():
+    rs = np.random.RandomState(4)
+    B, K, N, H, W = 2, 4, 3, 9, 11
+    logp = torch.log_softmax(torch.from_numpy(rs.rand(B, K, N, H, W).astype(np.float32)), 1)
+    labels = rs.randint(0, K, size=(B, N, H, W)).astype(np.int64)
+    labels[1, 2, 4] = 255
+    for step in (0.0, 0.5, 1.0):
+        golden = torch_focal(logp, torch.from_numpy(labels), 0.3, 255, step).item()
+        j = focal_loss(
+            jnp.asarray(logp.numpy().transpose(0, 2, 3, 4, 1)),
+            jnp.asarray(labels),
+            top_k=0.3,
+            ignore_index=255,
+            step_percent=step,
+        )
+        assert math.isclose(float(j), golden, rel_tol=1e-5, abs_tol=1e-6), step
