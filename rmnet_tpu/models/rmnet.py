@@ -1,0 +1,609 @@
+"""RMNet: regional space-time-memory network for semi-supervised VOS.
+
+TPU-native redesign of the reference models/rmnet.py (same capabilities,
+different architecture of the computation):
+
+  * The reference builds ragged per-object batches in Python loops
+    (models/rmnet.py:219-229, 327-349); here the object axis is a *static*
+    ``K`` with (B, K) validity masks, vmapped/reshaped into the batch.
+  * The reference grows its memory bank with ``torch.cat`` along time
+    (models/rmnet.py:420-422); here the bank is a fixed-capacity buffer with
+    a write cursor and slot-validity mask, carried through ``jax.lax.scan``
+    (training) or a jitted streaming step (inference). Invalid slots get
+    ``-inf`` attention scores and thus exactly zero probability, so the
+    softmax semantics match a bank that only contains real entries.
+  * The "always include the previous frame even if not committed" rule
+    (models/rmnet.py:416-422) becomes one extra ephemeral slot appended to
+    the bank view used by attention.
+  * Regional masking multiplies keys/values by the /16 attention map exactly
+    as the reference (models/rmnet.py:243-248, 355-358); masked-out *valid*
+    positions keep score 0 and still take softmax mass — intentional
+    reference semantics, preserved.
+
+Magic constants 32.0605 / -16.1181 (models/rmnet.py:442-448) equal
+``log(eps/(1-eps))`` for the aggregation clamp eps=1e-7 — see
+rmnet_tpu/ops/aggregation.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from rmnet_tpu.nn import BatchNorm2d, Conv2d
+from rmnet_tpu.nn.layers import kaiming_normal_conv_init, torch_default_conv_init
+from rmnet_tpu.models.resnet import ResNet50Trunk
+from rmnet_tpu.ops import (
+    pad_divide_by,
+    unpad,
+    regional_attention_map,
+    resize_bilinear,
+    resize_nearest,
+    scale_hw,
+    soft_aggregation,
+    backward_warp,
+)
+
+NEW_OBJECT_SCALE = 32.0605
+NEW_OBJECT_BIAS = -16.1181
+SUPPRESSED = -16.1181
+
+
+class ResBlock(nn.Module):
+    """2x 3x3-conv residual block (reference models/rmnet.py:24-48)."""
+
+    outdim: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.conv1 = Conv2d(
+            self.outdim, (3, 3), stride=(self.stride, self.stride), padding=(1, 1),
+            kernel_init=kaiming_normal_conv_init, dtype=self.dtype,
+        )
+        self.conv2 = Conv2d(
+            self.outdim, (3, 3), padding=(1, 1),
+            kernel_init=kaiming_normal_conv_init, dtype=self.dtype,
+        )
+        if self.downsample:
+            self.downsample_conv = Conv2d(
+                self.outdim, (3, 3), stride=(self.stride, self.stride), padding=(1, 1),
+                kernel_init=kaiming_normal_conv_init, dtype=self.dtype,
+            )
+
+    def __call__(self, x):
+        r = self.conv1(nn.relu(x))
+        r = self.conv2(nn.relu(r))
+        if self.downsample:
+            x = self.downsample_conv(x)
+        return x + r
+
+
+class EncoderMemory(nn.Module):
+    """ResNet-50 trunk + mask/other-mask stems (reference models/rmnet.py:51-80)."""
+
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.conv1_m = Conv2d(
+            64, (7, 7), stride=(2, 2), padding=(3, 3), use_bias=False,
+            kernel_init=torch_default_conv_init, dtype=self.dtype,
+        )
+        self.conv1_o = Conv2d(
+            64, (7, 7), stride=(2, 2), padding=(3, 3), use_bias=False,
+            kernel_init=torch_default_conv_init, dtype=self.dtype,
+        )
+        self.trunk = ResNet50Trunk(dtype=self.dtype)
+
+    def __call__(self, f, m, o, train_bn: bool = False):
+        """f: (B, H, W, 3); m, o: (B, H, W) -> r4 (B, H/16, W/16, 1024)."""
+        extra = self.conv1_m(m[..., None]) + self.conv1_o(o[..., None])
+        r4, _, _, _ = self.trunk(f, extra_stem=extra, train_bn=train_bn)
+        return r4
+
+
+class EncoderQuery(nn.Module):
+    """RGB-only ResNet-50 trunk (reference models/rmnet.py:83-104)."""
+
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.trunk = ResNet50Trunk(dtype=self.dtype)
+
+    def __call__(self, f, train_bn: bool = False):
+        r4, r3, r2, _ = self.trunk(f, train_bn=train_bn)
+        return r4, r3, r2
+
+
+class KeyValue(nn.Module):
+    """Parallel 3x3 key/value heads (reference models/rmnet.py:168-176)."""
+
+    keydim: int = 128
+    valdim: int = 512
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.key_conv = Conv2d(
+            self.keydim, (3, 3), padding=(1, 1),
+            kernel_init=kaiming_normal_conv_init, dtype=self.dtype,
+        )
+        self.value_conv = Conv2d(
+            self.valdim, (3, 3), padding=(1, 1),
+            kernel_init=kaiming_normal_conv_init, dtype=self.dtype,
+        )
+
+    def __call__(self, x):
+        return self.key_conv(x), self.value_conv(x)
+
+
+class Refine(nn.Module):
+    """Decoder refinement block (reference models/rmnet.py:107-120)."""
+
+    planes: int
+    scale_factor: int = 2
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.convFS = Conv2d(
+            self.planes, (3, 3), padding=(1, 1),
+            kernel_init=kaiming_normal_conv_init, dtype=self.dtype,
+        )
+        self.ResFS = ResBlock(self.planes, dtype=self.dtype)
+        self.ResMM = ResBlock(self.planes, dtype=self.dtype)
+
+    def __call__(self, f, pm):
+        s = self.ResFS(self.convFS(f))
+        up_hw = (pm.shape[-3] * self.scale_factor, pm.shape[-2] * self.scale_factor)
+        m = s + resize_bilinear(pm, up_hw, align_corners=False)
+        return self.ResMM(m)
+
+
+class Decoder(nn.Module):
+    """1024 -> 2-logit decoder with skip refinement (reference models/rmnet.py:123-140)."""
+
+    mdim: int = 256
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.convFM = Conv2d(
+            self.mdim, (3, 3), padding=(1, 1),
+            kernel_init=kaiming_normal_conv_init, dtype=self.dtype,
+        )
+        self.ResMM = ResBlock(self.mdim, dtype=self.dtype)
+        self.RF3 = Refine(self.mdim, dtype=self.dtype)
+        self.RF2 = Refine(self.mdim, dtype=self.dtype)
+        self.pred2 = Conv2d(
+            2, (3, 3), padding=(1, 1),
+            kernel_init=kaiming_normal_conv_init, dtype=self.dtype,
+        )
+
+    def __call__(self, r4, r3, r2):
+        m4 = self.ResMM(self.convFM(r4))
+        m3 = self.RF3(r3, m4)
+        m2 = self.RF2(r2, m3)
+        p2 = self.pred2(nn.relu(m2))
+        out_hw = (p2.shape[-3] * 4, p2.shape[-2] * 4)
+        return resize_bilinear(p2, out_hw, align_corners=False)
+
+
+def memory_read(
+    m_key: jnp.ndarray,
+    m_val: jnp.ndarray,
+    q_key: jnp.ndarray,
+    q_val: jnp.ndarray,
+    slot_valid: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Space-time memory read (reference MemoryReader, models/rmnet.py:143-165).
+
+    Args:
+      m_key: (N, S, h, w, Ck) memory keys (N = B*K flattened object batch).
+      m_val: (N, S, h, w, Cv) memory values.
+      q_key: (N, h, w, Ck) query keys.
+      q_val: (N, h, w, Cv) query values.
+      slot_valid: (N, S) bool; invalid slots get -inf scores (exactly zero
+        probability), making the fixed-capacity bank equivalent to the
+        reference's grown bank.
+
+    Returns:
+      (mem_val, p): (N, h, w, Ck+... = Cv*2) read result concat q_val, and
+      the (N, S*h*w, h*w) affinity (reference returns it for visualization).
+    """
+    N, S, h, w, Ck = m_key.shape
+    Cv = m_val.shape[-1]
+    hw = h * w
+
+    mk = m_key.reshape(N, S * hw, Ck)
+    qk = q_key.reshape(N, hw, Ck)
+    scores = jnp.einsum("nmc,nqc->nmq", mk, qk, preferred_element_type=jnp.float32)
+    scores = scores / math.sqrt(Ck)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    valid = jnp.repeat(slot_valid, hw, axis=1)  # (N, S*hw)
+    scores = jnp.where(valid[..., None], scores, neg_inf)
+    p = jax.nn.softmax(scores, axis=1)  # (N, S*hw, hw)
+
+    mv = m_val.reshape(N, S * hw, Cv)
+    mem = jnp.einsum("nmq,nmv->nqv", p.astype(m_val.dtype), mv,
+                     preferred_element_type=jnp.float32)
+    mem = mem.reshape(N, h, w, Cv).astype(q_val.dtype)
+    return jnp.concatenate([mem, q_val], axis=-1), p
+
+
+class RMNet(nn.Module):
+    """Parameter container for all RMNet sub-networks.
+
+    The per-frame control flow lives in :class:`RMNetApply` — keeping the
+    linen module a pure function library makes scan/jit orchestration and
+    parameter surgery (torch import, partial init) straightforward.
+    """
+
+    dtype: Optional[jnp.dtype] = None
+
+    def setup(self):
+        self.encoder_memory = EncoderMemory(dtype=self.dtype)
+        self.encoder_query = EncoderQuery(dtype=self.dtype)
+        self.kv_memory = KeyValue(128, 512, dtype=self.dtype)
+        self.kv_query = KeyValue(128, 512, dtype=self.dtype)
+        self.decoder = Decoder(256, dtype=self.dtype)
+
+    def encode_memory(self, f, m, o, train_bn: bool = False):
+        r4 = self.encoder_memory(f, m, o, train_bn)
+        return self.kv_memory(r4)
+
+    def encode_query(self, f, train_bn: bool = False):
+        r4, r3, r2 = self.encoder_query(f, train_bn)
+        k4, v4 = self.kv_query(r4)
+        return k4, v4, r3, r2
+
+    def decode(self, m4, r3, r2):
+        return self.decoder(m4, r3, r2)
+
+    def __call__(self, f, m, o, train_bn: bool = False):
+        """Init-only entry touching every submodule so ``init`` builds all params."""
+        k4m, v4m = self.encode_memory(f, m, o, train_bn)
+        k4q, v4q, r3, r2 = self.encode_query(f, train_bn)
+        m4 = jnp.concatenate([v4q, v4q], axis=-1)
+        logits = self.decode(m4, r3, r2)
+        return k4m, v4m, k4q, logits
+
+
+class MemoryBank(NamedTuple):
+    """Fixed-capacity per-object memory bank (scan carry / streaming state)."""
+
+    keys: jnp.ndarray    # (B, K, S, h, w, Ck)
+    values: jnp.ndarray  # (B, K, S, h, w, Cv)
+    bboxes: jnp.ndarray  # (B, K, S, 4) int32
+    cursor: jnp.ndarray  # () int32 — number of committed slots
+    # NOTE: slot validity is derived: slot s valid iff s < cursor.
+
+
+class VOSState(NamedTuple):
+    """Streaming inference state carried across frames."""
+
+    bank: MemoryBank
+    prev_mask: jnp.ndarray  # (B, K, H, W) previous frame's estimated mask
+    prev_frame: jnp.ndarray  # (B, H, W, 3)
+    exist: jnp.ndarray  # (B, K) bool — objects revealed so far
+    t: jnp.ndarray  # () int32 — current frame index
+
+
+@dataclasses.dataclass(frozen=True)
+class RMNetApply:
+    """Functional orchestration of RMNet: memorize / segment / step / video.
+
+    Mirrors the reference control flow (models/rmnet.py:191-452) with static
+    shapes. ``model.apply`` is closed over ``variables`` by the caller.
+    """
+
+    model: RMNet
+    memorize_every: int = 5
+    prob_threshold: float = 0.5
+    n_pts_threshold: int = 10
+    n_bbox_loose_pixels: int = 64
+    train_bn: bool = False
+
+    # ----------------------------------------------------------------- utils
+    def _apply(self, variables, method, *args):
+        kwargs = {}
+        if method in ("encode_memory", "encode_query"):
+            kwargs["train_bn"] = self.train_bn
+        return self.model.apply(variables, *args, method=method, **kwargs)
+
+    # ------------------------------------------------------------- memorize
+    def memorize(
+        self,
+        variables: Dict[str, Any],
+        frame: jnp.ndarray,   # (B, H, W, 3)
+        masks: jnp.ndarray,   # (B, K, H, W) soft per-object masks
+        obj_valid: jnp.ndarray,  # (B, K) bool, slot 0 False
+    ):
+        """Encode one frame into per-object regional keys/values.
+
+        Returns (k4, v4, bboxes): (B, K, h, w, Ck/Cv) and (B, K, 4).
+        Replaces reference memorize + pad_memory (models/rmnet.py:191-250).
+        """
+        B, K, H, W = masks.shape
+        (frame_p,), _ = pad_divide_by([frame], 16)
+        (masks_p,), _ = pad_divide_by([masks], 16, spatial_axes=(-2, -1))
+        Hp, Wp = frame_p.shape[1:3]
+
+        v = obj_valid.astype(masks_p.dtype)[:, :, None, None]  # (B, K, 1, 1)
+        masks_v = masks_p * v
+        # other-objects mask: sum of all *valid* other object masks, clamped
+        others = jnp.clip(
+            jnp.sum(masks_v, axis=1, keepdims=True) - masks_v, 0.0, 1.0
+        )  # (B, K, Hp, Wp)
+
+        # fold K into batch for the encoder (static-shape per-object batch)
+        f_bk = jnp.broadcast_to(frame_p[:, None], (B, K) + frame_p.shape[1:])
+        f_bk = f_bk.reshape((B * K,) + frame_p.shape[1:])
+        m_bk = masks_p.reshape(B * K, Hp, Wp)
+        o_bk = others.reshape(B * K, Hp, Wp)
+
+        k4, v4 = self._apply(variables, "encode_memory", f_bk, m_bk, o_bk)
+        h, w = k4.shape[1:3]
+        k4 = k4.reshape(B, K, h, w, -1)
+        v4 = v4.reshape(B, K, h, w, -1)
+
+        # zero out background slot 0 and invalid objects (reference
+        # pad_memory leaves those slots zero, models/rmnet.py:191-205)
+        vk = obj_valid.astype(k4.dtype)[:, :, None, None, None]
+        k4 = k4 * vk
+        v4 = v4 * vk
+
+        # regional memory embedding (models/rmnet.py:243-248); note the
+        # reference's F.interpolate(scale_factor=1/16) defaults to NEAREST
+        att_map, bboxes = regional_attention_map(
+            masks_p, self.prob_threshold, self.n_pts_threshold, self.n_bbox_loose_pixels
+        )
+        att_small = resize_nearest(
+            att_map, scale_hw(Hp, Wp, 1 / 16), spatial_axes=(-2, -1)
+        )[..., None]  # (B, K, h, w, 1)
+        k4 = k4 * att_small
+        v4 = v4 * att_small
+        return k4, v4, bboxes
+
+    # --------------------------------------------------------------- attmap
+    def get_att_map(self, prev_mask: jnp.ndarray, flow: Optional[jnp.ndarray] = None):
+        """Warp prev mask by flow (if given) then bbox-dilate
+        (reference models/rmnet.py:280-287). prev_mask: (B, K, H, W);
+        flow: (B, H, W, 2)."""
+        if flow is None:
+            expt = prev_mask
+        else:
+            B, K, H, W = prev_mask.shape
+            m_img = prev_mask.transpose(0, 2, 3, 1)  # (B, H, W, K) as channels
+            warped, _ = backward_warp(m_img, flow)
+            expt = warped.transpose(0, 3, 1, 2)
+        return regional_attention_map(
+            expt, self.prob_threshold, self.n_pts_threshold, self.n_bbox_loose_pixels
+        )
+
+    # -------------------------------------------------------------- segment
+    def segment(
+        self,
+        variables: Dict[str, Any],
+        frame: jnp.ndarray,      # (B, H, W, 3)
+        att_map: jnp.ndarray,    # (B, K, H, W) regional query map
+        mem_keys: jnp.ndarray,   # (B, K, S, h, w, Ck)
+        mem_values: jnp.ndarray, # (B, K, S, h, w, Cv)
+        slot_valid: jnp.ndarray, # (S,) or (B, K, S) bool
+        obj_valid: jnp.ndarray,  # (B, K) bool
+    ) -> jnp.ndarray:
+        """One segmentation pass -> (B, K, H, W) logits
+        (reference models/rmnet.py:304-383)."""
+        B, K, S = mem_keys.shape[:3]
+        (frame_p,), pads = pad_divide_by([frame], 16)
+        (att_p,), _ = pad_divide_by([att_map], 16, spatial_axes=(-2, -1))
+        Hp, Wp = frame_p.shape[1:3]
+
+        k4, v4, r3, r2 = self._apply(variables, "encode_query", frame_p)
+        h, w = k4.shape[1:3]
+
+        # regional query embedding (models/rmnet.py:355-358); nearest /16
+        att_small = resize_nearest(
+            att_p, scale_hw(Hp, Wp, 1 / 16), spatial_axes=(-2, -1)
+        )[..., None]  # (B, K, h, w, 1)
+        k4e = k4[:, None] * att_small  # (B, K, h, w, Ck)
+        v4e = v4[:, None] * att_small
+
+        if slot_valid.ndim == 1:
+            slot_valid_bk = jnp.broadcast_to(slot_valid[None], (B * K, S))
+        else:
+            slot_valid_bk = slot_valid.reshape(B * K, S)
+
+        m4, _ = memory_read(
+            mem_keys.reshape((B * K, S, h, w, -1)),
+            mem_values.reshape((B * K, S, h, w, -1)),
+            k4e.reshape(B * K, h, w, -1),
+            v4e.reshape(B * K, h, w, -1),
+            slot_valid_bk,
+        )
+
+        # decode per object (r3/r2 shared across objects — expand like
+        # models/rmnet.py:332-335)
+        r3e = jnp.broadcast_to(r3[:, None], (B, K) + r3.shape[1:]).reshape(
+            (B * K,) + r3.shape[1:]
+        )
+        r2e = jnp.broadcast_to(r2[:, None], (B, K) + r2.shape[1:]).reshape(
+            (B * K,) + r2.shape[1:]
+        )
+        logits2 = self._apply(variables, "decode", m4, r3e, r2e)  # (B*K, Hp, Wp, 2)
+        ps = jax.nn.softmax(logits2, axis=-1)[..., 1]  # fg prob (B*K, Hp, Wp)
+        ps = ps.reshape(B, K, Hp, Wp)
+
+        logit = soft_aggregation(ps, obj_valid)  # (B, K, Hp, Wp)
+        return unpad(logit, pads, spatial_axes=(-2, -1))
+
+    # ------------------------------------------------------------------ step
+    def step(
+        self,
+        variables: Dict[str, Any],
+        state: VOSState,
+        frame: jnp.ndarray,        # (B, H, W, 3) current frame t
+        flow: jnp.ndarray,         # (B, H, W, 2) flow t -> t-1
+        gt_mask: jnp.ndarray,      # (B, K, H, W) gt one-hot at t (zeros at test
+                                   #  time for frames without annotations)
+        any_new: jnp.ndarray,      # () bool — new objects revealed at t
+        commit: jnp.ndarray,       # () bool — commit frame t-1 to the bank
+        obj_valid: jnp.ndarray,    # (B, K) bool — video-level object slots
+    ) -> Tuple[VOSState, jnp.ndarray]:
+        """One timestep of the reference loop (models/rmnet.py:410-450).
+
+        Returns (new_state, est_mask_t) with est_mask_t = softmax logits.
+        """
+        bank = state.bank
+        B, K, S = bank.keys.shape[:3]
+
+        # ---- memorize frame t-1 with its estimated mask
+        prev_k, prev_v, prev_box = self.memorize(
+            variables, state.prev_frame, state.prev_mask, obj_valid
+        )
+
+        # commit to the persistent bank at the cursor
+        def write(buf, item):
+            return jax.lax.cond(
+                commit,
+                lambda b: jax.lax.dynamic_update_index_in_dim(
+                    b, item, jnp.clip(bank.cursor, 0, S - 1), axis=2
+                ),
+                lambda b: b,
+                buf,
+            )
+
+        new_keys = write(bank.keys, prev_k)
+        new_values = write(bank.values, prev_v)
+        new_bboxes = write(bank.bboxes, prev_box)
+        new_cursor = jnp.minimum(bank.cursor + commit.astype(jnp.int32), S)
+
+        # bank view for this step: committed slots ++ ephemeral prev slot
+        this_keys = jnp.concatenate([new_keys, prev_k[:, :, None]], axis=2)
+        this_values = jnp.concatenate([new_values, prev_v[:, :, None]], axis=2)
+        slot_idx = jnp.arange(S + 1)
+        # committed slots valid below cursor; the appended prev always valid.
+        # (when prev was just committed it appears twice — harmless for
+        # softmax? no: duplicated entries WOULD take double mass. The
+        # reference's `this = committed ++ prev` only appends prev when it
+        # was NOT just committed... actually it always rebuilds `this` from
+        # the *old* bank + prev, so prev appears exactly once. Replicate:
+        # use the OLD cursor for validity so a just-committed prev slot is
+        # not double-counted.)
+        slot_valid = slot_idx < jnp.where(commit, bank.cursor, new_cursor)
+        slot_valid = slot_valid.at[S].set(True)
+
+        # ---- segment current frame
+        att_map, _ = self.get_att_map(state.prev_mask, flow)
+        logit = self.segment(
+            variables, frame, att_map, this_keys, this_values, slot_valid, obj_valid
+        )
+
+        # ---- new-object injection (models/rmnet.py:436-442)
+        labels = jnp.argmax(gt_mask, axis=1)  # (B, H, W)
+        present = jax.vmap(
+            lambda lab: jnp.bincount(lab.reshape(-1), length=K) > 0
+        )(labels)  # (B, K)
+        newly = present & (~state.exist) & any_new
+        inj = gt_mask.astype(logit.dtype) * NEW_OBJECT_SCALE + NEW_OBJECT_BIAS
+        logit = jnp.where(newly[:, :, None, None], inj, logit)
+        exist = state.exist | newly
+
+        # ---- suppress non-existing objects (models/rmnet.py:444-448)
+        logit = jnp.where(exist[:, :, None, None], logit, SUPPRESSED)
+
+        est_mask = jax.nn.softmax(logit, axis=1)
+        new_state = VOSState(
+            bank=MemoryBank(new_keys, new_values, new_bboxes, new_cursor),
+            prev_mask=est_mask,
+            prev_frame=frame,
+            exist=exist,
+            t=state.t + 1,
+        )
+        return new_state, est_mask
+
+    # ------------------------------------------------------------ init state
+    def init_state(
+        self,
+        frames0: jnp.ndarray,   # (B, H, W, 3) first frame
+        masks0: jnp.ndarray,    # (B, K, H, W) gt one-hot at t=0
+        capacity: int,
+        key_dim: int = 128,
+        val_dim: int = 512,
+        dtype=jnp.float32,
+    ) -> VOSState:
+        B, K, H, W = masks0.shape
+        from rmnet_tpu.ops.pad import divide_pads
+
+        lw, uw, lh, uh = divide_pads(H, W, 16)
+        h, w = (H + lh + uh) // 16, (W + lw + uw) // 16
+        bank = MemoryBank(
+            keys=jnp.zeros((B, K, capacity, h, w, key_dim), dtype),
+            values=jnp.zeros((B, K, capacity, h, w, val_dim), dtype),
+            bboxes=jnp.zeros((B, K, capacity, 4), jnp.int32),
+            cursor=jnp.zeros((), jnp.int32),
+        )
+        labels = jnp.argmax(masks0, axis=1)
+        exist = jax.vmap(lambda lab: jnp.bincount(lab.reshape(-1), length=K) > 0)(labels)
+        return VOSState(
+            bank=bank,
+            prev_mask=masks0.astype(dtype),
+            prev_frame=frames0,
+            exist=exist,
+            t=jnp.ones((), jnp.int32),
+        )
+
+    # --------------------------------------------------------- full sequence
+    def forward_video(
+        self,
+        variables: Dict[str, Any],
+        frames: jnp.ndarray,        # (B, T, H, W, 3)
+        masks: jnp.ndarray,         # (B, T, K, H, W) gt one-hot
+        optical_flows: jnp.ndarray, # (B, T, H, W, 2)
+        n_objects: jnp.ndarray,     # (B, T) int
+    ) -> jnp.ndarray:
+        """Whole-sequence forward via lax.scan (training / short-clip eval).
+
+        Returns est_masks (B, T, K, H, W); frame 0 is the ground truth
+        (models/rmnet.py:397).
+        """
+        B, T, K, H, W = masks.shape
+        n_max = jnp.max(n_objects, axis=1)  # (B,)
+        obj_valid = (jnp.arange(K)[None, :] >= 1) & (
+            jnp.arange(K)[None, :] <= n_max[:, None]
+        )
+
+        # frame-level flags (reference models/rmnet.py:404-408)
+        changed = jnp.any(n_objects[:, 1:] != n_objects[:, :-1], axis=0)  # (T-1,)
+        any_new = jnp.concatenate([jnp.zeros((1,), bool), changed])       # (T,)
+        in_to_memorize = jnp.asarray(
+            [(t % self.memorize_every) == 0 for t in range(T)]
+        )
+        commit = in_to_memorize | any_new  # commit frame (t-1) iff flagged
+
+        state = self.init_state(
+            frames[:, 0], masks[:, 0], capacity=max(T - 1, 1),
+            dtype=frames.dtype,
+        )
+
+        def body(carry, xs):
+            frame, flow, gt_mask, new_t, commit_tm1 = xs
+            new_state, est = self.step(
+                variables, carry, frame, flow, gt_mask, new_t, commit_tm1, obj_valid
+            )
+            return new_state, est
+
+        xs = (
+            frames[:, 1:].swapaxes(0, 1),         # (T-1, B, H, W, 3)
+            optical_flows[:, 1:].swapaxes(0, 1),
+            masks[:, 1:].swapaxes(0, 1),
+            any_new[1:],
+            commit[:-1],                           # commit decision for frame t-1
+        )
+        _, est_seq = jax.lax.scan(body, state, xs)  # (T-1, B, K, H, W)
+        est_seq = est_seq.swapaxes(0, 1)  # (B, T-1, K, H, W)
+        est0 = masks[:, :1].astype(est_seq.dtype)
+        return jnp.concatenate([est0, est_seq], axis=1)

