@@ -1,0 +1,106 @@
+"""Evaluation loop: per-video streaming inference + DAVIS J&F metrics.
+
+Capability of reference core/test.py:24-141 — dual mode:
+  * standalone (epoch_idx == -1): full val set, multi-scale inference;
+  * in-training validation: only cfg.TEST.TESTING_VIDEOS_INDEXES videos,
+    TinyFlowNet flows, single scale.
+Per-video metrics are weighted by the object count (core/test.py:104-105).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Optional
+
+import numpy as np
+
+from rmnet_tpu.core.engine import InferenceEngine
+from rmnet_tpu.data import DataLoader, DatasetCollector, DatasetSubset
+from rmnet_tpu.utils.average_meter import AverageMeter
+from rmnet_tpu.utils.metrics import Metrics
+from rmnet_tpu.utils.seg_viz import get_segmentation
+
+
+def test_net(
+    cfg,
+    epoch_idx: int = -1,
+    test_data_loader: Optional[DataLoader] = None,
+    test_writer=None,
+    engine: Optional[InferenceEngine] = None,
+) -> Metrics:
+    if test_data_loader is None:
+        test_data_loader = DataLoader(
+            DatasetCollector.get_dataset(cfg, cfg.DATASET.TEST_DATASET, DatasetSubset.VAL),
+            batch_size=1,
+            shuffle=False,
+        )
+
+    if engine is None:
+        from rmnet_tpu.core.engine import build_models
+        from rmnet_tpu.utils.checkpoint import load_weights_auto
+
+        _, _, rm_vars, tfn_vars = build_models(cfg, cfg.CONST.RNG_SEED)
+        if cfg.CONST.WEIGHTS:
+            logging.info("Recovering from %s ...", cfg.CONST.WEIGHTS)
+            rm_vars, tfn_vars, _ = load_weights_auto(cfg.CONST.WEIGHTS, rm_vars, tfn_vars)
+        engine = InferenceEngine(cfg, rm_vars, tfn_vars)
+
+    n_videos = len(test_data_loader)
+    test_metrics = AverageMeter(Metrics.names())
+    fps_meter = AverageMeter()
+
+    for idx, (names, n_objects, frames, masks, flows) in enumerate(test_data_loader):
+        # in-training validation only visits the selected subset
+        # (reference core/test.py:71-72)
+        if epoch_idx != -1 and idx not in cfg.TEST.TESTING_VIDEOS_INDEXES:
+            continue
+        video_name = names[0]
+        try:
+            tic = time.time()
+            if epoch_idx == -1:
+                _, est_probs = engine.multi_scale_inference(
+                    frames[0], masks[0], n_objects[0]
+                )
+            else:
+                est_probs = engine.run_video(frames[0], masks[0], n_objects[0])
+            toc = time.time()
+        except Exception as ex:  # skip-video robustness (core/test.py:99-101)
+            logging.exception(ex)
+            continue
+
+        est_labels = est_probs.argmax(axis=1)  # (T, H, W)
+        gt_labels = masks[0].argmax(axis=1)
+        metrics = Metrics.get(est_labels, gt_labels)
+        weight = int(np.max(n_objects[0]))
+        test_metrics.update(metrics, weight)
+        fps = est_probs.shape[0] / max(toc - tic, 1e-9)
+        fps_meter.update(fps)
+
+        if test_writer is not None and idx < 3 and cfg.TEST.VISUALIZE_EVERY > 0:
+            norm = {"mean": cfg.CONST.DATASET_MEAN, "std": cfg.CONST.DATASET_STD}
+            for i in range(0, est_labels.shape[0], cfg.TEST.VISUALIZE_EVERY):
+                est_img = get_segmentation(frames[0][i], est_labels[i], norm,
+                                           cfg.CONST.IGNORE_IDX)
+                gt_img = get_segmentation(frames[0][i], gt_labels[i], norm,
+                                          cfg.CONST.IGNORE_IDX)
+                test_writer.add_image(
+                    "%s/Frame%03d" % (video_name, i),
+                    np.concatenate((np.array(est_img), np.array(gt_img)), axis=0),
+                    epoch_idx,
+                )
+
+        logging.info(
+            "Test[%d/%d] VideoName = %s FPS = %.2f Metrics = %s",
+            idx + 1, n_videos, video_name, fps, ["%.4f" % m for m in metrics],
+        )
+
+    logging.info(
+        "[Test Summary] FPS = %.2f Metrics = %s",
+        fps_meter.avg(), ["%.4f" % m for m in test_metrics.avg()],
+    )
+    if test_writer is not None:
+        for i, name in enumerate(Metrics.names()):
+            test_writer.add_scalar("Metric/%s" % name, test_metrics.avg(i), epoch_idx)
+
+    return Metrics(cfg.TEST.MAIN_METRIC_NAME, test_metrics.avg())

@@ -30,7 +30,10 @@ def build(force: bool = False) -> str:
     """Compile native/flow_affine.cpp into rmnet_tpu/native/_flow_affine.so."""
     if not force and os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
         return _LIB
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC, "-o", _LIB]
+    # -ffp-contract=off: keep float rounding identical to the numpy fallback
+    # (FMA contraction flips nearest-neighbor ties at exact .5 coordinates)
+    cmd = ["g++", "-O3", "-march=native", "-ffp-contract=off",
+           "-shared", "-fPIC", _SRC, "-o", _LIB]
     subprocess.run(cmd, check=True)
     return _LIB
 

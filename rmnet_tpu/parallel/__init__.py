@@ -1,0 +1,26 @@
+"""Device-mesh parallelism: data-parallel training and an eval farm.
+
+TPU-native replacements for the reference's parallel machinery:
+  * torch.nn.DataParallel (core/train.py:68-69) -> a jax.sharding.Mesh with
+    the batch axis sharded; XLA inserts the gradient all-reduce over ICI.
+  * SyncBatchNorm via NCCL world_size=1 (core/train.py:59-66) -> BatchNorm2d
+    axis_name pmean (rmnet_tpu/nn/layers.py) when batch-stats training is on.
+  * the eval_server thread-per-GPU farm (utils/eval_server.py:78-127) ->
+    DeviceFarm: per-device jitted replicas fed from host threads.
+"""
+
+from rmnet_tpu.parallel.mesh import (
+    make_mesh,
+    shard_batch,
+    replicate,
+    data_parallel_sharding,
+)
+from rmnet_tpu.parallel.eval_farm import DeviceFarm
+
+__all__ = [
+    "make_mesh",
+    "shard_batch",
+    "replicate",
+    "data_parallel_sharding",
+    "DeviceFarm",
+]

@@ -1,0 +1,73 @@
+"""Per-device evaluation farm (TPU twin of reference utils/eval_server.py:78-127).
+
+One replica of the model variables lives on each device; host threads pull
+videos off a shared queue and run the single-device jitted inference on
+"their" device. Replaces thread-per-GPU + .cuda(device) pinning with
+jax.device_put placement.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+
+
+class DeviceFarm:
+    """Round-robin work farm over devices.
+
+    Args:
+      work_fn: callable(device, device_variables, item) -> result. It should
+        call functions jitted with ``device=``-pinned inputs (placement via
+        the device_put'd variables is enough for jit to stay on-device).
+      variables: model variables to replicate per device.
+      devices: defaults to all local devices.
+    """
+
+    def __init__(
+        self,
+        work_fn: Callable[[Any, Any, Any], Any],
+        variables: Any,
+        devices: Optional[Sequence[Any]] = None,
+    ):
+        self.devices = list(devices if devices is not None else jax.devices())
+        self.work_fn = work_fn
+        self.replicas = [
+            jax.device_put(variables, d) for d in self.devices
+        ]
+
+    def map(self, items: Sequence[Any]) -> List[Any]:
+        """Evaluate items across devices; preserves input order."""
+        in_q: "queue.Queue" = queue.Queue()
+        for i, item in enumerate(items):
+            in_q.put((i, item))
+        results: List[Any] = [None] * len(items)
+        errors: List[Exception] = []
+
+        def worker(dev_idx: int):
+            device = self.devices[dev_idx]
+            replica = self.replicas[dev_idx]
+            while True:
+                try:
+                    i, item = in_q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    results[i] = self.work_fn(device, replica, item)
+                except Exception as ex:  # mirror the reference's skip-video
+                    errors.append(ex)    # robustness (eval_server.py:111-114)
+                    results[i] = None
+
+        threads = [
+            threading.Thread(target=worker, args=(i,), daemon=True)
+            for i in range(len(self.devices))
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors and all(r is None for r in results):
+            raise errors[0]
+        return results

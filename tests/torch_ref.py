@@ -290,13 +290,15 @@ def warp_t(img0, flow):
 class RMNetT(nn.Module):
     """Torch spec of the full reference per-frame loop (models/rmnet.py:179-452)."""
 
-    def __init__(self):
+    def __init__(self, n_bbox_loose_pixels=64, n_pts_threshold=10):
         super().__init__()
         self.encoder_memory = EncoderMemoryT()
         self.encoder_query = EncoderQueryT()
         self.kv_memory = KeyValueT()
         self.kv_query = KeyValueT()
         self.decoder = DecoderT(256)
+        self.loose = n_bbox_loose_pixels
+        self.n_pts = n_pts_threshold
 
     def pad_memory(self, mems, n_objects, K):
         pad_mems = []
@@ -328,7 +330,7 @@ class RMNetT(nn.Module):
         r4 = self.encoder_memory(f, m, o)[0]
         k4, v4 = self.kv_memory(r4)
         k4, v4 = self.pad_memory([k4, v4], n_objects, K)
-        att, box = reg_att_map_t(masks)
+        att, box = reg_att_map_t(masks, n_pts_threshold=self.n_pts, loose=self.loose)
         att = F.interpolate(att, scale_factor=1 / 16).unsqueeze(2).unsqueeze(2)
         return k4 * att, v4 * att, box
 
@@ -397,7 +399,7 @@ class RMNetT(nn.Module):
             if t - 1 in to_mem or t - 1 in new_at:
                 keys, values = tk, tv
             warped, _ = warp_t(prev_mask, optical_flows[:, t])
-            att, _ = reg_att_map_t(warped)
+            att, _ = reg_att_map_t(warped, n_pts_threshold=self.n_pts, loose=self.loose)
             logit = self.segment(frames[:, t], att, tk, tv, n_max)
             if t in new_at:
                 for i in range(B):
