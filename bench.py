@@ -1,0 +1,115 @@
+"""End-to-end streaming VOS benchmark on the attached accelerator.
+
+Measures 480p multi-object streaming inference FPS/chip: the full per-frame
+pipeline (TinyFlowNet flow + memorize + regional memory read + decode) as
+chunked lax.scan dispatches with device-resident weights and state. Inputs
+are staged to HBM before timing so the number reflects the chip, not the
+host link; label outputs are downloaded inside the timed region.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N}
+
+Baseline: the RMNet paper reports ~12 FPS for 480p DAVIS inference on a
+V100-class GPU (arXiv:2103.12934; BASELINE.md) — vs_baseline = fps / 12.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rmnet_tpu.config import Config
+    from rmnet_tpu.core.engine import InferenceEngine, build_models
+
+    bf16 = "--f32" not in sys.argv
+    T = int(os.environ.get("BENCH_FRAMES", "48"))
+    H, W = 480, 854
+    K = int(os.environ.get("BENCH_OBJECTS", "2")) + 1  # slots incl. background
+    CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
+
+    cfg = Config()
+    cfg.TEST.MEMORY_CAPACITY = max(T // cfg.TEST.MEMORIZE_EVERY + 2, 4)
+
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    _, _, rm_vars, tfn_vars = build_models(cfg, 0, dtype=None)
+    engine = InferenceEngine(cfg, rm_vars, tfn_vars, dtype=dtype, chunk=CHUNK)
+
+    rs = np.random.RandomState(0)
+    frames = rs.rand(T, H, W, 3).astype(np.float32) * 2 - 1
+    labels = np.zeros((T, H, W), np.uint8)
+    for t in range(T):
+        y = 100 + 2 * t
+        labels[t, y:y + 120, 150:300] = 1
+        if K > 2:
+            labels[t, y + 40:y + 180, 450:620] = 2
+    masks = np.stack([(labels == k) for k in range(K)], 1).astype(np.uint8)
+    n_objects = np.full((T,), K - 1, np.int32)
+
+    # ---- stage all chunk inputs in HBM up front
+    any_new, commit = engine._video_flags(n_objects, T)
+    obj_valid = jnp.asarray(((np.arange(K) >= 1) & (np.arange(K) <= K - 1))[None])
+    chunk_fn = engine._get_chunk_fn(use_tfn_flow=True, return_probs=False)
+
+    staged = []
+    t = 1
+    while t < T:
+        end = min(t + CHUNK, T)
+        n_pad = CHUNK - (end - t)
+
+        def pad_tail(a):
+            return np.concatenate([a, np.repeat(a[-1:], n_pad, 0)], 0) if n_pad else a
+
+        staged.append((
+            jax.device_put(pad_tail(frames[t:end])[:, None]),
+            jax.device_put(pad_tail(masks[t:end]).astype(np.float32)[:, None]),
+            jax.device_put(pad_tail(any_new[t:end])),
+            jax.device_put(pad_tail(commit[t - 1:end - 1])),
+            jax.device_put(np.arange(CHUNK) < (end - t)),
+            end - t,
+        ))
+        t = end
+
+    def run_once():
+        state = engine.apply.init_state(
+            jnp.asarray(frames[None, 0]),
+            jnp.asarray(masks[None, 0].astype(np.float32)),
+            capacity=engine.capacity,
+            dtype=dtype,
+        )
+        outs = []
+        for f_c, g_c, new_c, com_c, valid_c, n_live in staged:
+            state, est = chunk_fn(
+                engine.rmnet_vars, state, f_c, g_c, new_c, com_c, valid_c, obj_valid
+            )
+            outs.append((est, n_live))
+        # download labels (part of the measured pipeline)
+        return [np.asarray(e)[:n, 0] for e, n in outs]
+
+    run_once()  # compile + warm
+    tic = time.perf_counter()
+    labels_out = run_once()
+    toc = time.perf_counter()
+
+    n_processed = T - 1
+    fps = n_processed / (toc - tic)
+    total = np.concatenate(labels_out, axis=0)
+    assert total.shape == (T - 1, H, W) and total.dtype == np.uint8
+
+    print(json.dumps({
+        "metric": "480p streaming VOS inference (2 objects, memorize_every=5, "
+                  f"{'bf16' if bf16 else 'f32'}, chunk={CHUNK})",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 12.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,11 +1,20 @@
-"""Streaming VOS inference engine: jitted per-frame step + flow pipeline.
+"""Streaming VOS inference engine: chunked-scan dispatches, device-resident state.
 
 The reference evaluates a video by materializing all frames on the GPU and
 looping in Python with a cat-grown memory bank (models/rmnet.py:410-450).
-Here the engine compiles ONE step function per (H, W, K, capacity) signature
-— state is donated, so the memory bank updates in-place in HBM — and
-iterates frames from the host, overlapping host decode with device compute.
-TinyFlowNet flows are computed in batched chunks of frame pairs.
+Host<->device links can be slow and high-latency (PCIe at best, an RPC
+tunnel at worst), so this engine is built around three rules:
+
+  1. weights live on the device permanently (device_put once);
+  2. the per-frame loop runs as a lax.scan over fixed-size CHUNKS of frames
+     — one XLA dispatch per chunk, VOS state donated and device-resident
+     across chunks, TinyFlowNet flow computed inside the scan from the
+     carried previous frame (no flow transfers at all);
+  3. only argmax label maps (uint8) come back to the host unless the caller
+     asks for probabilities (test-time augmentation averaging).
+
+One chunk program serves every video length (tail steps are masked via
+``step_valid``), so each (H, W, K, capacity) signature compiles exactly once.
 """
 
 from __future__ import annotations
@@ -23,7 +32,7 @@ from rmnet_tpu.ops import resize_bilinear, resize_nearest
 
 
 class InferenceEngine:
-    """Holds models + variables and runs videos through jitted steps."""
+    """Holds models + device-resident variables and runs videos."""
 
     def __init__(
         self,
@@ -33,34 +42,54 @@ class InferenceEngine:
         memorize_every: Optional[int] = None,
         capacity: Optional[int] = None,
         dtype=jnp.float32,
+        chunk: int = 8,
     ):
         self.cfg = cfg
         self.dtype = dtype
+        self.chunk = chunk
         self.rmnet = RMNet(dtype=dtype if dtype != jnp.float32 else None)
         self.tflownet = TinyFlowNet(dtype=dtype if dtype != jnp.float32 else None)
-        self.rmnet_vars = rmnet_variables
-        self.tfn_vars = tflownet_variables
+        # weights are device-resident for the engine's lifetime
+        self.rmnet_vars = jax.device_put(rmnet_variables)
+        self.tfn_vars = jax.device_put(tflownet_variables)
         self.memorize_every = memorize_every or cfg.TEST.MEMORIZE_EVERY
         self.capacity = capacity or cfg.TEST.MEMORY_CAPACITY
-        self.apply = RMNetApply(
-            self.rmnet, memorize_every=self.memorize_every
-        )
-        self._step_fn = None
+        self.apply = RMNetApply(self.rmnet, memorize_every=self.memorize_every)
+        self._chunk_fns: Dict[Tuple[bool, bool], Any] = {}
         self._flow_fn = None
 
     # ------------------------------------------------------------- jit fns
-    def _get_step(self):
-        if self._step_fn is None:
+    def _get_chunk_fn(self, use_tfn_flow: bool, return_probs: bool):
+        key = (use_tfn_flow, return_probs)
+        if key not in self._chunk_fns:
             apply = self.apply
+            tfn = self.tflownet
+            tfn_vars = self.tfn_vars
 
-            @functools.partial(jax.jit, donate_argnums=(1,))
-            def step(variables, state, frame, flow, gt_mask, any_new, commit, obj_valid):
-                return apply.step(
-                    variables, state, frame, flow, gt_mask, any_new, commit, obj_valid
+            def tfn_flow(curr, prev):
+                return tfn.apply(tfn_vars, curr, prev, method="pair_forward")
+
+            @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=())
+            def chunk_fn(rm_vars, state, frames, gt_masks, any_new, commit,
+                         step_valid, obj_valid, flows=None):
+                new_state, est = apply.chunk_forward(
+                    rm_vars,
+                    tfn_flow if use_tfn_flow else None,
+                    state,
+                    frames,
+                    gt_masks.astype(frames.dtype),
+                    any_new,
+                    commit,
+                    step_valid,
+                    obj_valid,
+                    flows=flows,
                 )
+                if return_probs:
+                    return new_state, est.astype(jnp.float32)
+                return new_state, jnp.argmax(est, axis=2).astype(jnp.uint8)
 
-            self._step_fn = step
-        return self._step_fn
+            self._chunk_fns[key] = chunk_fn
+        return self._chunk_fns[key]
 
     def _get_flow(self):
         if self._flow_fn is None:
@@ -74,24 +103,19 @@ class InferenceEngine:
         return self._flow_fn
 
     # ------------------------------------------------------------ pipeline
-    def compute_flows(self, frames: np.ndarray, chunk: int = 8) -> np.ndarray:
-        """TinyFlowNet backward flows for a (T, H, W, 3) video; flow[0] = 0.
-
-        Pairs are batched in fixed-size chunks (padded on the last chunk) so
-        only one TinyFlowNet program is compiled regardless of T.
-        """
+    def compute_flows(self, frames: np.ndarray, chunk: Optional[int] = None) -> np.ndarray:
+        """TinyFlowNet backward flows for a (T, H, W, 3) video; flow[0] = 0."""
+        chunk = chunk or self.chunk
         T, H, W, _ = frames.shape
         flows = np.zeros((T, H, W, 2), np.float32)
         if T == 1:
             return flows
         flow_fn = self._get_flow()
-        curr_all = frames[1:]
-        prev_all = frames[:-1]
         n = T - 1
         for start in range(0, n, chunk):
             end = min(start + chunk, n)
-            curr = curr_all[start:end]
-            prev = prev_all[start:end]
+            curr = frames[1 + start : 1 + end]
+            prev = frames[start:end]
             if end - start < chunk:  # pad to fixed batch for compile reuse
                 pad = chunk - (end - start)
                 curr = np.concatenate([curr, np.repeat(curr[-1:], pad, 0)], 0)
@@ -100,50 +124,90 @@ class InferenceEngine:
             flows[1 + start : 1 + end] = out[: end - start]
         return flows
 
-    def run_video(
-        self,
-        frames: np.ndarray,        # (T, H, W, 3) normalized float32
-        masks: np.ndarray,         # (T, K, H, W) gt one-hot (frame 0 required)
-        n_objects: np.ndarray,     # (T,) int
-        flows: Optional[np.ndarray] = None,  # (T, H, W, 2); None -> TinyFlowNet
-    ) -> np.ndarray:
-        """Stream a full video; returns est_masks (T, K, H, W) float32."""
-        T, K, H, W = masks.shape
-        if flows is None:
-            flows = self.compute_flows(frames)
-
-        n_max = int(np.max(n_objects))
-        obj_valid = (np.arange(K) >= 1) & (np.arange(K) <= n_max)
-        obj_valid = jnp.asarray(obj_valid[None])  # (1, K)
-
+    def _video_flags(self, n_objects: np.ndarray, T: int):
         any_new = np.zeros((T,), bool)
         any_new[1:] = n_objects[1:] != n_objects[:-1]
         in_to_mem = np.array([(t % self.memorize_every) == 0 for t in range(T)])
         commit = in_to_mem | any_new
+        return any_new, commit
+
+    def _run(
+        self,
+        frames: np.ndarray,
+        masks: np.ndarray,
+        n_objects: np.ndarray,
+        flows: Optional[np.ndarray],
+        return_probs: bool,
+    ):
+        T, K, H, W = masks.shape
+        C = self.chunk
+        n_max = int(np.max(n_objects))
+        obj_valid = jnp.asarray(
+            ((np.arange(K) >= 1) & (np.arange(K) <= n_max))[None]
+        )
+        any_new, commit = self._video_flags(n_objects, T)
 
         state = self.apply.init_state(
-            jnp.asarray(frames[None, 0]),
+            jnp.asarray(frames[None, 0].astype(np.float32)),
             jnp.asarray(masks[None, 0].astype(np.float32)),
             capacity=self.capacity,
             dtype=self.dtype,
         )
-        step = self._get_step()
+        chunk_fn = self._get_chunk_fn(use_tfn_flow=flows is None,
+                                      return_probs=return_probs)
 
-        est = np.zeros((T, K, H, W), np.float32)
-        est[0] = masks[0]
-        for t in range(1, T):
-            state, est_t = step(
-                self.rmnet_vars,
-                state,
-                jnp.asarray(frames[None, t]),
-                jnp.asarray(flows[None, t]),
-                jnp.asarray(masks[None, t].astype(np.float32)),
-                jnp.asarray(bool(any_new[t])),
-                jnp.asarray(bool(commit[t - 1])),
-                obj_valid,
-            )
-            est[t] = np.asarray(est_t[0], np.float32)
-        return est
+        if return_probs:
+            out = np.zeros((T, K, H, W), np.float32)
+            out[0] = masks[0]
+        else:
+            out = np.zeros((T, H, W), np.uint8)
+            out[0] = np.argmax(masks[0], axis=0)
+
+        def pad_tail(a, n):
+            return np.concatenate([a, np.repeat(a[-1:], n, 0)], 0) if n else a
+
+        t = 1
+        while t < T:
+            end = min(t + C, T)
+            n_pad = C - (end - t)
+            f_c = pad_tail(frames[t:end].astype(np.float32), n_pad)[:, None]
+            g_c = pad_tail(masks[t:end], n_pad)[:, None]
+            new_c = pad_tail(any_new[t:end], n_pad)
+            com_c = pad_tail(commit[t - 1 : end - 1], n_pad)
+            valid_c = np.arange(C) < (end - t)
+            args = [
+                self.rmnet_vars, state,
+                jnp.asarray(f_c), jnp.asarray(g_c), jnp.asarray(new_c),
+                jnp.asarray(com_c), jnp.asarray(valid_c), obj_valid,
+            ]
+            if flows is not None:
+                fl_c = pad_tail(flows[t:end].astype(np.float32), n_pad)[:, None]
+                args.append(jnp.asarray(fl_c))
+            state, est = chunk_fn(*args)
+            est_np = np.asarray(est)
+            out[t:end] = est_np[: end - t, 0]
+            t = end
+        return out
+
+    def run_video_labels(
+        self,
+        frames: np.ndarray,        # (T, H, W, 3) normalized float32
+        masks: np.ndarray,         # (T, K, H, W) gt one-hot (frame 0 required)
+        n_objects: np.ndarray,     # (T,) int
+        flows: Optional[np.ndarray] = None,  # None -> TinyFlowNet inside the scan
+    ) -> np.ndarray:
+        """Fast path: returns (T, H, W) uint8 argmax labels."""
+        return self._run(frames, masks, n_objects, flows, return_probs=False)
+
+    def run_video(
+        self,
+        frames: np.ndarray,
+        masks: np.ndarray,
+        n_objects: np.ndarray,
+        flows: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Full path: returns est_masks (T, K, H, W) float32 probabilities."""
+        return self._run(frames, masks, n_objects, flows, return_probs=True)
 
     # -------------------------------------------------- multi-scale / flip
     def multi_scale_inference(
@@ -157,6 +221,12 @@ class InferenceEngine:
         (est_flows at 1.0-scale resolution, est_probs (T, K, H, W))."""
         cfg = self.cfg
         T, K, H, W = masks.shape
+        single = tuple(cfg.TEST.FRAME_SCALES) == (1.0,) and not cfg.TEST.FLIP_LR
+        if single:
+            # no averaging needed: use the labels fast path for the probs too
+            est = self.run_video(frames, masks, n_objects)
+            return None, est
+
         probs_acc = []
         flows_out = None
         for fs in cfg.TEST.FRAME_SCALES:

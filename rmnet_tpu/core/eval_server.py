@@ -1,0 +1,84 @@
+"""Continuous checkpoint-evaluation daemon (TPU twin of utils/eval_server.py).
+
+Watches a checkpoint directory, evaluates each new checkpoint over the full
+val set on free devices (DeviceFarm dispatch instead of thread-per-GPU), logs
+scalars, and keeps only the best checkpoint on disk
+(reference utils/eval_server.py:155-263).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import shutil
+import time
+from typing import Dict, Optional, Set
+
+from rmnet_tpu.core.engine import InferenceEngine, build_models
+from rmnet_tpu.core.test import test_net
+from rmnet_tpu.data import DataLoader, DatasetCollector, DatasetSubset
+from rmnet_tpu.utils.checkpoint import load_weights_auto
+from rmnet_tpu.utils.metrics import Metrics
+from rmnet_tpu.utils.summary import SummaryWriter
+
+
+def get_checkpoints(ckpt_dir: str, evaluated: Set[str]):
+    """New checkpoint paths in the directory (orbax dirs or .pth files)."""
+    fresh = []
+    if not os.path.isdir(ckpt_dir):
+        return fresh
+    for entry in sorted(os.listdir(ckpt_dir)):
+        path = os.path.join(ckpt_dir, entry)
+        if entry in evaluated or entry.startswith("."):
+            continue
+        if entry.startswith("ckpt") and (os.path.isdir(path) or entry.endswith(".pth")):
+            fresh.append(path)
+    return fresh
+
+
+def eval_server(cfg, ckpt_dir: str, poll_seconds: float = 15.0,
+                keep_best_only: bool = True, max_iterations: Optional[int] = None):
+    """Run forever (or max_iterations): evaluate every new checkpoint."""
+    val_loader = DataLoader(
+        DatasetCollector.get_dataset(cfg, cfg.DATASET.TEST_DATASET, DatasetSubset.VAL),
+        batch_size=1,
+        shuffle=False,
+    )
+    log_dir = os.path.join(cfg.DIR.OUTPUT_DIR, "logs", cfg.CONST.EXP_NAME)
+    writer = SummaryWriter(log_dir, "eval_server")
+
+    evaluated: Set[str] = set()
+    scores: Dict[str, Metrics] = {}
+    best_path: Optional[str] = None
+    iteration = 0
+    while max_iterations is None or iteration < max_iterations:
+        iteration += 1
+        for path in get_checkpoints(ckpt_dir, evaluated):
+            name = os.path.basename(path)
+            evaluated.add(name)
+            try:
+                _, _, rm_vars, tfn_vars = build_models(cfg, cfg.CONST.RNG_SEED)
+                rm_vars, tfn_vars, _ = load_weights_auto(path, rm_vars, tfn_vars)
+                engine = InferenceEngine(cfg, rm_vars, tfn_vars)
+                metrics = test_net(cfg, -1, val_loader, None, engine)
+            except Exception as ex:  # skip bad checkpoints, keep serving
+                logging.exception(ex)
+                continue
+            scores[path] = metrics
+            jf = metrics.state_dict()[cfg.TEST.MAIN_METRIC_NAME]
+            writer.add_scalar("EvalServer/%s" % cfg.TEST.MAIN_METRIC_NAME, jf, iteration)
+            logging.info("Evaluated %s: %s", name, metrics)
+
+            if best_path is None or metrics.better_than(scores.get(best_path)):
+                best_path = path
+            if keep_best_only:
+                # keep only the best checkpoint on disk
+                # (reference utils/eval_server.py:225-236)
+                for p in list(scores):
+                    if p != best_path and os.path.exists(p):
+                        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+                        logging.info("Removed non-best checkpoint %s", p)
+        if max_iterations is None or iteration < max_iterations:
+            time.sleep(poll_seconds)
+    writer.close()
+    return best_path, scores

@@ -54,6 +54,21 @@ NEW_OBJECT_BIAS = -16.1181
 SUPPRESSED = -16.1181
 
 
+def _present_objects(one_hot: jnp.ndarray) -> jnp.ndarray:
+    """(B, K) presence flags: which slots the argmax label map contains.
+
+    Equivalent to ``bincount(argmax(one_hot)) > 0`` for disjoint one-hot
+    masks — but as pure max-reductions instead of a scatter (bincount's
+    scatter-add costs milliseconds per frame on TPU). Slot k>=1 is present
+    iff its channel fires anywhere; slot 0 is the argmax wherever no k>=1
+    channel fires (covers both bg=1 and all-zero/ignored pixels).
+    """
+    fg = one_hot[:, 1:] >= 0.5  # (B, K-1, H, W)
+    present_fg = jnp.any(fg, axis=(2, 3))
+    present_bg = jnp.any(~jnp.any(fg, axis=1), axis=(1, 2))
+    return jnp.concatenate([present_bg[:, None], present_fg], axis=1)
+
+
 class ResBlock(nn.Module):
     """2x 3x3-conv residual block (reference models/rmnet.py:24-48)."""
 
@@ -339,16 +354,20 @@ class RMNetApply:
             jnp.sum(masks_v, axis=1, keepdims=True) - masks_v, 0.0, 1.0
         )  # (B, K, Hp, Wp)
 
-        # fold K into batch for the encoder (static-shape per-object batch)
-        f_bk = jnp.broadcast_to(frame_p[:, None], (B, K) + frame_p.shape[1:])
-        f_bk = f_bk.reshape((B * K,) + frame_p.shape[1:])
-        m_bk = masks_p.reshape(B * K, Hp, Wp)
-        o_bk = others.reshape(B * K, Hp, Wp)
+        # fold object slots into the batch for the encoder (static-shape
+        # per-object batch). Slot 0 (background) is never encoded — the
+        # reference's pad_memory leaves it zero — so only K-1 slots run,
+        # saving a full encoder pass per frame.
+        Ko = K - 1
+        f_bk = jnp.broadcast_to(frame_p[:, None], (B, Ko) + frame_p.shape[1:])
+        f_bk = f_bk.reshape((B * Ko,) + frame_p.shape[1:])
+        m_bk = masks_p[:, 1:].reshape(B * Ko, Hp, Wp)
+        o_bk = others[:, 1:].reshape(B * Ko, Hp, Wp)
 
         k4, v4 = self._apply(variables, "encode_memory", f_bk, m_bk, o_bk)
         h, w = k4.shape[1:3]
-        k4 = k4.reshape(B, K, h, w, -1)
-        v4 = v4.reshape(B, K, h, w, -1)
+        k4 = jnp.pad(k4.reshape(B, Ko, h, w, -1), ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
+        v4 = jnp.pad(v4.reshape(B, Ko, h, w, -1), ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
 
         # zero out background slot 0 and invalid objects (reference
         # pad_memory leaves those slots zero, models/rmnet.py:191-205)
@@ -377,9 +396,13 @@ class RMNetApply:
             expt = prev_mask
         else:
             B, K, H, W = prev_mask.shape
-            m_img = prev_mask.transpose(0, 2, 3, 1)  # (B, H, W, K) as channels
+            # slot 0 never reaches the bbox generator (CUDA loop starts at
+            # i=1) — warp only object channels, then pad slot 0 back
+            m_img = prev_mask[:, 1:].transpose(0, 2, 3, 1)  # (B, H, W, K-1)
             warped, _ = backward_warp(m_img, flow)
-            expt = warped.transpose(0, 3, 1, 2)
+            expt = jnp.pad(
+                warped.transpose(0, 3, 1, 2), ((0, 0), (1, 0), (0, 0), (0, 0))
+            )
         return regional_attention_map(
             expt, self.prob_threshold, self.n_pts_threshold, self.n_bbox_loose_pixels
         )
@@ -405,37 +428,41 @@ class RMNetApply:
         k4, v4, r3, r2 = self._apply(variables, "encode_query", frame_p)
         h, w = k4.shape[1:3]
 
-        # regional query embedding (models/rmnet.py:355-358); nearest /16
+        # regional query embedding (models/rmnet.py:355-358); nearest /16.
+        # Slot 0 (background) never reaches the reader/decoder — the
+        # reference only batches real objects (models/rmnet.py:327-349) —
+        # so K-1 slots run, saving a decoder pass per frame.
+        Ko = K - 1
         att_small = resize_nearest(
-            att_p, scale_hw(Hp, Wp, 1 / 16), spatial_axes=(-2, -1)
-        )[..., None]  # (B, K, h, w, 1)
-        k4e = k4[:, None] * att_small  # (B, K, h, w, Ck)
+            att_p[:, 1:], scale_hw(Hp, Wp, 1 / 16), spatial_axes=(-2, -1)
+        )[..., None]  # (B, Ko, h, w, 1)
+        k4e = k4[:, None] * att_small  # (B, Ko, h, w, Ck)
         v4e = v4[:, None] * att_small
 
         if slot_valid.ndim == 1:
-            slot_valid_bk = jnp.broadcast_to(slot_valid[None], (B * K, S))
+            slot_valid_bk = jnp.broadcast_to(slot_valid[None], (B * Ko, S))
         else:
-            slot_valid_bk = slot_valid.reshape(B * K, S)
+            slot_valid_bk = slot_valid[:, 1:].reshape(B * Ko, S)
 
         m4, _ = memory_read(
-            mem_keys.reshape((B * K, S, h, w, -1)),
-            mem_values.reshape((B * K, S, h, w, -1)),
-            k4e.reshape(B * K, h, w, -1),
-            v4e.reshape(B * K, h, w, -1),
+            mem_keys[:, 1:].reshape((B * Ko, S, h, w, -1)),
+            mem_values[:, 1:].reshape((B * Ko, S, h, w, -1)),
+            k4e.reshape(B * Ko, h, w, -1),
+            v4e.reshape(B * Ko, h, w, -1),
             slot_valid_bk,
         )
 
         # decode per object (r3/r2 shared across objects — expand like
         # models/rmnet.py:332-335)
-        r3e = jnp.broadcast_to(r3[:, None], (B, K) + r3.shape[1:]).reshape(
-            (B * K,) + r3.shape[1:]
+        r3e = jnp.broadcast_to(r3[:, None], (B, Ko) + r3.shape[1:]).reshape(
+            (B * Ko,) + r3.shape[1:]
         )
-        r2e = jnp.broadcast_to(r2[:, None], (B, K) + r2.shape[1:]).reshape(
-            (B * K,) + r2.shape[1:]
+        r2e = jnp.broadcast_to(r2[:, None], (B, Ko) + r2.shape[1:]).reshape(
+            (B * Ko,) + r2.shape[1:]
         )
-        logits2 = self._apply(variables, "decode", m4, r3e, r2e)  # (B*K, Hp, Wp, 2)
-        ps = jax.nn.softmax(logits2, axis=-1)[..., 1]  # fg prob (B*K, Hp, Wp)
-        ps = ps.reshape(B, K, Hp, Wp)
+        logits2 = self._apply(variables, "decode", m4, r3e, r2e)  # (B*Ko, Hp, Wp, 2)
+        ps = jax.nn.softmax(logits2, axis=-1)[..., 1]  # fg prob (B*Ko, Hp, Wp)
+        ps = jnp.pad(ps.reshape(B, Ko, Hp, Wp), ((0, 0), (1, 0), (0, 0), (0, 0)))
 
         logit = soft_aggregation(ps, obj_valid)  # (B, K, Hp, Wp)
         return unpad(logit, pads, spatial_axes=(-2, -1))
@@ -503,10 +530,7 @@ class RMNetApply:
         )
 
         # ---- new-object injection (models/rmnet.py:436-442)
-        labels = jnp.argmax(gt_mask, axis=1)  # (B, H, W)
-        present = jax.vmap(
-            lambda lab: jnp.bincount(lab.reshape(-1), length=K) > 0
-        )(labels)  # (B, K)
+        present = _present_objects(gt_mask)  # (B, K)
         newly = present & (~state.exist) & any_new
         inj = gt_mask.astype(logit.dtype) * NEW_OBJECT_SCALE + NEW_OBJECT_BIAS
         logit = jnp.where(newly[:, :, None, None], inj, logit)
@@ -518,8 +542,9 @@ class RMNetApply:
         est_mask = jax.nn.softmax(logit, axis=1)
         new_state = VOSState(
             bank=MemoryBank(new_keys, new_values, new_bboxes, new_cursor),
-            prev_mask=est_mask,
-            prev_frame=frame,
+            # keep the carry dtype stable (bf16 streaming state stays bf16)
+            prev_mask=est_mask.astype(state.prev_mask.dtype),
+            prev_frame=frame.astype(state.prev_frame.dtype),
             exist=exist,
             t=state.t + 1,
         )
@@ -546,8 +571,7 @@ class RMNetApply:
             bboxes=jnp.zeros((B, K, capacity, 4), jnp.int32),
             cursor=jnp.zeros((), jnp.int32),
         )
-        labels = jnp.argmax(masks0, axis=1)
-        exist = jax.vmap(lambda lab: jnp.bincount(lab.reshape(-1), length=K) > 0)(labels)
+        exist = _present_objects(masks0)
         return VOSState(
             bank=bank,
             prev_mask=masks0.astype(dtype),
@@ -555,6 +579,52 @@ class RMNetApply:
             exist=exist,
             t=jnp.ones((), jnp.int32),
         )
+
+    # ------------------------------------------------------- chunked stream
+    def chunk_forward(
+        self,
+        variables: Dict[str, Any],
+        tfn_apply,                  # callable(curr, prev) -> flow, or None
+        state: VOSState,
+        frames: jnp.ndarray,        # (C, B, H, W, 3) chunk of frames
+        gt_masks: jnp.ndarray,      # (C, B, K, H, W) one-hot (zeros when absent)
+        any_new: jnp.ndarray,       # (C,) bool
+        commit: jnp.ndarray,        # (C,) bool — commit decision for frame t-1
+        step_valid: jnp.ndarray,    # (C,) bool — False for tail padding
+        obj_valid: jnp.ndarray,     # (B, K) bool
+        flows: Optional[jnp.ndarray] = None,  # (C, B, H, W, 2) when given
+    ) -> Tuple[VOSState, jnp.ndarray]:
+        """Scan a fixed-size chunk of frames in ONE dispatch.
+
+        TPU-native streaming: state stays device-resident between chunk
+        dispatches, so per-frame host<->device traffic reduces to the frames
+        themselves. When ``tfn_apply`` is given, TinyFlowNet computes the
+        backward flow from the carried previous frame inside the scan —
+        matching the reference validation path where RMNet consumes
+        TinyFlowNet-estimated flows (core/test.py:87-88).
+
+        ``step_valid`` masks tail padding: padded steps run but leave the
+        state untouched, so any chunk length divides any video length.
+        """
+
+        def body(carry, xs):
+            if flows is None:
+                frame, gt_mask, new_t, commit_t, valid_t = xs
+                flow = tfn_apply(frame, carry.prev_frame)
+            else:
+                frame, gt_mask, new_t, commit_t, valid_t, flow = xs
+            new_state, est = self.step(
+                variables, carry, frame, flow, gt_mask, new_t, commit_t, obj_valid
+            )
+            keep = lambda n, o: jnp.where(valid_t, n, o) if n.dtype == o.dtype else n
+            new_state = jax.tree_util.tree_map(keep, new_state, carry)
+            return new_state, est
+
+        xs = (frames, gt_masks, any_new, commit, step_valid)
+        if flows is not None:
+            xs = xs + (flows,)
+        new_state, est_seq = jax.lax.scan(body, state, xs)
+        return new_state, est_seq  # est_seq: (C, B, K, H, W)
 
     # --------------------------------------------------------- full sequence
     def forward_video(

@@ -36,6 +36,9 @@ def soft_aggregation(ps: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
       logits: (B, K, H, W) float32.
     """
     B, K, H, W = ps.shape
+    # always float32: the 1 - 1e-7 clamp is unrepresentable in bfloat16
+    # (rounds to 1.0 and the logit blows up to +inf)
+    ps = ps.astype(jnp.float32)
     v = valid.astype(ps.dtype)[..., None, None]  # (B, K, 1, 1)
     ps_v = ps * v
 

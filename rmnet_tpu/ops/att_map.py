@@ -43,21 +43,17 @@ def _forward(
     hit = mask >= prob_threshold  # (B, K, H, W)
     n_pts = jnp.sum(hit, axis=(2, 3), dtype=jnp.int32)  # (B, K)
 
-    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    # project to 1-D occupancy first (cheap any-reduce), then take min/max
+    # over tiny H-/W-length vectors — avoids full-size iota broadcasts
+    hit_x = jnp.any(hit, axis=2)  # (B, K, W)
+    hit_y = jnp.any(hit, axis=3)  # (B, K, H)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H), 2)
 
-    def reduce_box(coord, largest_init):
-        c = jnp.broadcast_to(coord, (B, K, H, W))
-        if largest_init:
-            sel = jnp.where(hit, c, _BIG)
-            return jnp.min(sel, axis=(2, 3))
-        sel = jnp.where(hit, c, -1)
-        return jnp.max(sel, axis=(2, 3))
-
-    x_min = reduce_box(xs, True)
-    x_max = reduce_box(xs, False)
-    y_min = reduce_box(ys, True)
-    y_max = reduce_box(ys, False)
+    x_min = jnp.min(jnp.where(hit_x, xs, _BIG), axis=2)
+    x_max = jnp.max(jnp.where(hit_x, xs, -1), axis=2)
+    y_min = jnp.min(jnp.where(hit_y, ys, _BIG), axis=2)
+    y_max = jnp.max(jnp.where(hit_y, ys, -1), axis=2)
 
     # Loosen / fall back to whole frame when too few points.
     whole = n_pts < n_pts_threshold
@@ -74,13 +70,12 @@ def _forward(
     y_min = jnp.where(obj, y_min, zero)
     y_max = jnp.where(obj, y_max, zero)
 
-    inside_x = (xs[None, None] >= x_min[..., None, None]) & (
-        xs[None, None] <= x_max[..., None, None]
-    )
-    inside_y = (ys[None, None] >= y_min[..., None, None]) & (
-        ys[None, None] <= y_max[..., None, None]
-    )
-    att = (inside_x & inside_y & obj[..., None, None]).astype(mask.dtype)
+    # rasterize as an outer product of 1-D range masks
+    inside_x = (xs >= x_min[..., None]) & (xs <= x_max[..., None])  # (B, K, W)
+    inside_y = (ys >= y_min[..., None]) & (ys <= y_max[..., None])  # (B, K, H)
+    att = (
+        inside_y[..., :, None] & inside_x[..., None, :] & obj[..., None, None]
+    ).astype(mask.dtype)
 
     bboxes = jnp.stack([x_min, x_max, y_min, y_max], axis=-1)  # (B, K, 4)
     return att, bboxes
