@@ -86,7 +86,13 @@ class InferenceEngine:
                 )
                 if return_probs:
                     return new_state, est.astype(jnp.float32)
-                return new_state, jnp.argmax(est, axis=2).astype(jnp.uint8)
+                labels = jnp.argmax(est, axis=2).astype(jnp.uint8)  # (C, B, H, W)
+                K = est.shape[2]
+                if K <= 16 and labels.shape[-1] % 2 == 0:
+                    # pack 2 pixels/byte (lossless for K <= 16): halves the
+                    # device->host traffic for the label stream
+                    labels = labels[..., 0::2] | (labels[..., 1::2] << 4)
+                return new_state, labels
 
             self._chunk_fns[key] = chunk_fn
         return self._chunk_fns[key]
@@ -166,6 +172,18 @@ class InferenceEngine:
         def pad_tail(a, n):
             return np.concatenate([a, np.repeat(a[-1:], n, 0)], 0) if n else a
 
+        def materialize(pending):
+            est, p_t, p_end = pending
+            est_np = np.asarray(est)
+            if not return_probs and est_np.shape[-1] != W:  # unpack 4-bit labels
+                n, _, Hh, Wp = est_np.shape
+                lab = np.empty((n, 1, Hh, Wp * 2), np.uint8)
+                lab[..., 0::2] = est_np & 0x0F
+                lab[..., 1::2] = est_np >> 4
+                est_np = lab
+            out[p_t:p_end] = est_np[: p_end - p_t, 0]
+
+        pending = None
         t = 1
         while t < T:
             end = min(t + C, T)
@@ -184,9 +202,13 @@ class InferenceEngine:
                 fl_c = pad_tail(flows[t:end].astype(np.float32), n_pad)[:, None]
                 args.append(jnp.asarray(fl_c))
             state, est = chunk_fn(*args)
-            est_np = np.asarray(est)
-            out[t:end] = est_np[: end - t, 0]
+            # download the PREVIOUS chunk's result while this one computes
+            if pending is not None:
+                materialize(pending)
+            pending = (est, t, end)
             t = end
+        if pending is not None:
+            materialize(pending)
         return out
 
     def run_video_labels(

@@ -56,25 +56,28 @@ def test_net(
         if epoch_idx != -1 and idx not in cfg.TEST.TESTING_VIDEOS_INDEXES:
             continue
         video_name = names[0]
+        single_scale = tuple(cfg.TEST.FRAME_SCALES) == (1.0,) and not cfg.TEST.FLIP_LR
         try:
             tic = time.time()
-            if epoch_idx == -1:
+            if epoch_idx == -1 and not single_scale:
                 _, est_probs = engine.multi_scale_inference(
                     frames[0], masks[0], n_objects[0]
                 )
+                est_labels = est_probs.argmax(axis=1)  # (T, H, W)
             else:
-                est_probs = engine.run_video(frames[0], masks[0], n_objects[0])
+                # single-scale: stream argmax labels directly (4-bit packed
+                # downloads, no probability tensors leave the device)
+                est_labels = engine.run_video_labels(frames[0], masks[0], n_objects[0])
             toc = time.time()
         except Exception as ex:  # skip-video robustness (core/test.py:99-101)
             logging.exception(ex)
             continue
 
-        est_labels = est_probs.argmax(axis=1)  # (T, H, W)
         gt_labels = masks[0].argmax(axis=1)
         metrics = Metrics.get(est_labels, gt_labels)
         weight = int(np.max(n_objects[0]))
         test_metrics.update(metrics, weight)
-        fps = est_probs.shape[0] / max(toc - tic, 1e-9)
+        fps = est_labels.shape[0] / max(toc - tic, 1e-9)
         fps_meter.update(fps)
 
         if test_writer is not None and idx < 3 and cfg.TEST.VISUALIZE_EVERY > 0:
