@@ -89,6 +89,10 @@ def main():
             state, est = chunk_fn(
                 engine.rmnet_vars, state, f_c, g_c, new_c, com_c, valid_c, obj_valid
             )
+            try:  # start the device->host copy in the background
+                est.copy_to_host_async()
+            except Exception:
+                pass
             # download the previous chunk's labels while this one computes
             if pending is not None:
                 outs.append(np.asarray(pending[0])[: pending[1], 0])

@@ -43,6 +43,7 @@ class InferenceEngine:
         capacity: Optional[int] = None,
         dtype=jnp.float32,
         chunk: int = 8,
+        use_flash_attention: bool = False,
     ):
         self.cfg = cfg
         self.dtype = dtype
@@ -54,7 +55,15 @@ class InferenceEngine:
         self.tfn_vars = jax.device_put(tflownet_variables)
         self.memorize_every = memorize_every or cfg.TEST.MEMORIZE_EVERY
         self.capacity = capacity or cfg.TEST.MEMORY_CAPACITY
-        self.apply = RMNetApply(self.rmnet, memorize_every=self.memorize_every)
+        # The dense XLA memory read wins at typical bank sizes (the affinity
+        # matmul is one big MXU op); the fused Pallas kernel avoids the
+        # O(M*Q) affinity in HBM and wins for very large banks — opt in.
+        use_flash = bool(use_flash_attention) and jax.default_backend() != "cpu"
+        self.apply = RMNetApply(
+            self.rmnet,
+            memorize_every=self.memorize_every,
+            use_flash_attention=use_flash,
+        )
         self._chunk_fns: Dict[Tuple[bool, bool], Any] = {}
         self._flow_fn = None
 
@@ -202,6 +211,10 @@ class InferenceEngine:
                 fl_c = pad_tail(flows[t:end].astype(np.float32), n_pad)[:, None]
                 args.append(jnp.asarray(fl_c))
             state, est = chunk_fn(*args)
+            try:  # start the device->host copy in the background
+                est.copy_to_host_async()
+            except Exception:
+                pass
             # download the PREVIOUS chunk's result while this one computes
             if pending is not None:
                 materialize(pending)

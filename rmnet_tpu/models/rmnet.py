@@ -321,6 +321,8 @@ class RMNetApply:
     n_pts_threshold: int = 10
     n_bbox_loose_pixels: int = 64
     train_bn: bool = False
+    # fused Pallas memory read (forward-only; training keeps the XLA path)
+    use_flash_attention: bool = False
 
     # ----------------------------------------------------------------- utils
     def _apply(self, variables, method, *args):
@@ -444,7 +446,11 @@ class RMNetApply:
         else:
             slot_valid_bk = slot_valid[:, 1:].reshape(B * Ko, S)
 
-        m4, _ = memory_read(
+        if self.use_flash_attention:
+            from rmnet_tpu.ops.flash_attention import memory_read_flash as _read
+        else:
+            _read = memory_read
+        m4, _ = _read(
             mem_keys[:, 1:].reshape((B * Ko, S, h, w, -1)),
             mem_values[:, 1:].reshape((B * Ko, S, h, w, -1)),
             k4e.reshape(B * Ko, h, w, -1),
