@@ -36,9 +36,39 @@ def get_checkpoints(ckpt_dir: str, evaluated: Set[str]):
     return fresh
 
 
+def fetch_remote_checkpoints(url: str, local_dir: str, evaluated: Set[str]):
+    """Scrape an HTTP directory listing for new .pth checkpoints and download
+    them (capability of reference utils/eval_server.py:129-144, which scrapes
+    a remote training box's checkpoint dir). Plain stdlib: anchor hrefs ending
+    in .pth are fetched into ``local_dir``."""
+    import re
+    import urllib.request
+
+    os.makedirs(local_dir, exist_ok=True)
+    with urllib.request.urlopen(url) as resp:
+        html = resp.read().decode("utf-8", "replace")
+    names = set(re.findall(r'href="([^"]+\.pth)"', html))
+    fetched = []
+    for name in sorted(names):
+        base = os.path.basename(name)
+        if base in evaluated:
+            continue
+        dest = os.path.join(local_dir, base)
+        if not os.path.exists(dest):
+            logging.info("Downloading remote checkpoint %s", base)
+            urllib.request.urlretrieve(url.rstrip("/") + "/" + name, dest)
+        fetched.append(dest)
+    return fetched
+
+
 def eval_server(cfg, ckpt_dir: str, poll_seconds: float = 15.0,
-                keep_best_only: bool = True, max_iterations: Optional[int] = None):
-    """Run forever (or max_iterations): evaluate every new checkpoint."""
+                keep_best_only: bool = True, max_iterations: Optional[int] = None,
+                remote_url: Optional[str] = None):
+    """Run forever (or max_iterations): evaluate every new checkpoint.
+
+    With ``remote_url``, new .pth checkpoints are scraped+downloaded from an
+    HTTP directory listing into ``ckpt_dir`` before each scan (the reference
+    eval_server's --remote mode)."""
     val_loader = DataLoader(
         DatasetCollector.get_dataset(cfg, cfg.DATASET.TEST_DATASET, DatasetSubset.VAL),
         batch_size=1,
@@ -53,6 +83,11 @@ def eval_server(cfg, ckpt_dir: str, poll_seconds: float = 15.0,
     iteration = 0
     while max_iterations is None or iteration < max_iterations:
         iteration += 1
+        if remote_url:
+            try:
+                fetch_remote_checkpoints(remote_url, ckpt_dir, evaluated)
+            except Exception as ex:
+                logging.warning("remote checkpoint fetch failed: %s", ex)
         for path in get_checkpoints(ckpt_dir, evaluated):
             name = os.path.basename(path)
             evaluated.add(name)

@@ -64,16 +64,19 @@ def cosine_lr(base_lr: float, epoch: int, n_epochs: int) -> float:
 
 def make_train_step(cfg, apply: RMNetApply, tflownet, optimizer, remat: bool = True):
     """Build the jitted train step for the selected network."""
+    import dataclasses
+
     network = cfg.TRAIN.NETWORK
     ignore = cfg.CONST.IGNORE_IDX
+    if remat:
+        # per-frame remat: only scan carries persist; within-step encoder /
+        # decoder activations recompute in the backward pass
+        apply = dataclasses.replace(apply, remat=True)
 
     def rmnet_loss(params, extra_vars, batch):
         variables = {"params": params, **extra_vars}
-        fwd = apply.forward_video
-        if remat:
-            fwd = jax.checkpoint(fwd, static_argnums=())
-        est = fwd(variables, batch["frames"], batch["masks"],
-                  batch["flows"], batch["n_objects"])
+        est = apply.forward_video(variables, batch["frames"], batch["masks"],
+                                  batch["flows"], batch["n_objects"])
         probs = est[:, 1:]  # (B, T-1, K, H, W)
         labels = jnp.argmax(batch["masks"][:, 1:], axis=2)  # (B, T-1, H, W)
         probs_cl = jnp.moveaxis(probs, 2, -1)  # channels-last

@@ -323,6 +323,9 @@ class RMNetApply:
     train_bn: bool = False
     # fused Pallas memory read (forward-only; training keeps the XLA path)
     use_flash_attention: bool = False
+    # rematerialize per scan step (training): keeps only the carry between
+    # frames and recomputes within-step activations in the backward pass
+    remat: bool = False
 
     # ----------------------------------------------------------------- utils
     def _apply(self, variables, method, *args):
@@ -665,9 +668,11 @@ class RMNetApply:
             dtype=frames.dtype,
         )
 
+        step_fn = jax.checkpoint(self.step) if self.remat else self.step
+
         def body(carry, xs):
             frame, flow, gt_mask, new_t, commit_tm1 = xs
-            new_state, est = self.step(
+            new_state, est = step_fn(
                 variables, carry, frame, flow, gt_mask, new_t, commit_tm1, obj_valid
             )
             return new_state, est

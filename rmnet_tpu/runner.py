@@ -31,6 +31,9 @@ def get_args(argv=None):
     parser.add_argument("--inference", action="store_true")
     parser.add_argument("--eval-server", dest="eval_server", action="store_true")
     parser.add_argument("--ckpt-dir", dest="ckpt_dir", default=None, type=str)
+    parser.add_argument("--remote", default=None, type=str,
+                        help="HTTP directory URL to scrape for new .pth "
+                             "checkpoints (eval-server mode)")
     parser.add_argument("--weights", default=None, type=str)
     parser.add_argument("--set", dest="overrides", action="append", default=[],
                         metavar="PATH=VALUE", help="config override, repeatable")
@@ -63,7 +66,7 @@ def main(argv=None):
         from rmnet_tpu.core.eval_server import eval_server
 
         ckpt_dir = args.ckpt_dir or f"{cfg.DIR.OUTPUT_DIR}/checkpoints/{cfg.CONST.EXP_NAME}"
-        eval_server(cfg, ckpt_dir)
+        eval_server(cfg, ckpt_dir, remote_url=args.remote)
         return
 
     if not args.test and not args.inference:

@@ -1,0 +1,81 @@
+"""Tests for index builders, profiling hooks, remote checkpoint scraping."""
+
+import json
+import os
+
+import numpy as np
+from PIL import Image
+
+from rmnet_tpu.data.build_index import build_davis_index, build_file_list
+from rmnet_tpu.utils.profiling import Stopwatch, trace_if
+
+
+def test_build_davis_index(tmp_path):
+    root = tmp_path / "DAVIS"
+    (root / "ImageSets/2017").mkdir(parents=True)
+    (root / "ImageSets/2017/train.txt").write_text("camel\nbear\n")
+    (root / "ImageSets/2017/val.txt").write_text("camel\n")
+    for vid, n in (("camel", 3), ("bear", 2)):
+        d = root / "JPEGImages/480p" / vid
+        d.mkdir(parents=True)
+        for i in range(n):
+            Image.new("RGB", (8, 8)).save(d / f"{i:05d}.jpg")
+    idx = build_davis_index(str(root))
+    assert idx["train"] == [
+        {"name": "camel", "n_frames": 3},
+        {"name": "bear", "n_frames": 2},
+    ]
+    assert idx["val"] == [{"name": "camel", "n_frames": 3}]
+    assert idx["test"] == []
+
+
+def test_build_file_list(tmp_path):
+    d = tmp_path / "imgs"
+    d.mkdir()
+    for name in ("b.jpg", "a.jpg", "c.png", "skip.txt"):
+        (d / name).write_bytes(b"x")
+    assert build_file_list(str(d)) == ["a", "b", "c"]
+
+
+def test_stopwatch_and_trace_noop():
+    sw = Stopwatch()
+    with sw.scope("a"):
+        pass
+    with sw.scope("a"):
+        pass
+    assert sw.counts["a"] == 2
+    assert "a: total" in sw.report()
+    with trace_if(None):  # disabled -> no-op
+        pass
+
+
+def test_remote_checkpoint_scrape(tmp_path):
+    """fetch_remote_checkpoints against a local HTTP dir listing."""
+    import threading
+    import http.server
+    import functools
+
+    from rmnet_tpu.core.eval_server import fetch_remote_checkpoints
+
+    src = tmp_path / "remote"
+    src.mkdir()
+    (src / "ckpt-epoch-001.pth").write_bytes(b"fake")
+    (src / "notes.txt").write_bytes(b"no")
+
+    handler = functools.partial(
+        http.server.SimpleHTTPRequestHandler, directory=str(src)
+    )
+    server = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{server.server_address[1]}/"
+        local = tmp_path / "local"
+        fetched = fetch_remote_checkpoints(url, str(local), set())
+        assert len(fetched) == 1
+        assert fetched[0].endswith("ckpt-epoch-001.pth")
+        assert (local / "ckpt-epoch-001.pth").read_bytes() == b"fake"
+        # already-evaluated names are skipped
+        assert fetch_remote_checkpoints(url, str(local), {"ckpt-epoch-001.pth"}) == []
+    finally:
+        server.shutdown()
