@@ -25,6 +25,7 @@ import functools
 import logging
 import os
 import random
+import signal
 import time
 import zipfile
 
@@ -184,6 +185,22 @@ def train_net(cfg):
         [cfg.TRAIN.CKPT_SAVE_THRESHOLD] * len(Metrics.names()),
     )
 
+    # Preemption handling (the reference has none, SURVEY §5): on SIGTERM /
+    # SIGINT finish the current batch, save ckpt-interrupt with full state,
+    # and exit cleanly — resume continues the schedule.
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        logging.warning("signal %s received — checkpointing and stopping", signum)
+        stop_requested["flag"] = True
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGINT):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _request_stop)
+        except ValueError:  # not in main thread
+            pass
+
     n_batches = len(train_loader)
     last_keep_epoch = -cfg.TRAIN.N_EPOCHS
     for epoch_idx in range(init_epoch + 1, cfg.TRAIN.N_EPOCHS + 1):
@@ -240,6 +257,23 @@ def train_net(cfg):
                 epoch_idx, cfg.TRAIN.N_EPOCHS, batch_idx + 1, n_batches,
                 batch_time.val(), data_time.val(), losses.val(),
             )
+            if stop_requested["flag"]:
+                break
+
+        if stop_requested["flag"]:
+            if trained_net == "RMNet":
+                rm_vars = {"params": params, **extra_vars}
+            else:
+                tfn_vars = {"params": params, **extra_vars}
+            path = save_checkpoint(ckpt_dir, "ckpt-interrupt", {
+                "epoch": epoch_idx - 1,  # epoch incomplete: resume re-runs it
+                "best_metrics": best_metrics.state_dict() if best_metrics else None,
+                "rmnet": rm_vars,
+                "tflownet": tfn_vars,
+                "opt_state": opt_state,
+            })
+            logging.warning("Saved interrupt checkpoint to %s; exiting.", path)
+            break
 
         train_writer.add_scalar("Loss/Epoch", losses.avg(), epoch_idx)
         logging.info("[Epoch %d/%d] EpochTime = %.3f (s) Loss = %.4f",
@@ -273,6 +307,8 @@ def train_net(cfg):
             path = save_checkpoint(ckpt_dir, "ckpt-best", state)
             logging.info("Saved checkpoint to %s ...", path)
 
+    for sig, handler in prev_handlers.items():
+        signal.signal(sig, handler)
     train_writer.close()
     val_writer.close()
     return best_metrics
