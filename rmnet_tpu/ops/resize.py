@@ -42,17 +42,29 @@ def _linear_weights(in_size: int, out_size: int, align_corners: bool):
     return i0, i1, w1
 
 
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> jnp.ndarray:
+    """(out, in) dense interpolation matrix with two taps per row.
+
+    Interpolation-as-matmul: gathers are expensive on TPU (no hardware
+    gather), while a small dense matmul rides the MXU. Each row holds the
+    two bilinear tap weights; the result is bit-identical to the gather
+    formulation (the extra terms are exact float zeros, and coincident taps
+    at clamped edges sum to w0 + w1 exactly).
+    """
+    i0, i1, w1 = _linear_weights(in_size, out_size, align_corners)
+    rows = jnp.arange(out_size)
+    m = jnp.zeros((out_size, in_size), jnp.float32)
+    return m.at[rows, i0].add(1.0 - w1).at[rows, i1].add(w1)
+
+
 def _interp_axis(x: jnp.ndarray, axis: int, out_size: int, align_corners: bool):
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
-    i0, i1, w1 = _linear_weights(in_size, out_size, align_corners)
-    x0 = jnp.take(x, i0, axis=axis)
-    x1 = jnp.take(x, i1, axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    w1 = w1.reshape(shape).astype(x.dtype)
-    return x0 * (1 - w1) + x1 * w1
+    m = _interp_matrix(in_size, out_size, align_corners)
+    xm = jnp.moveaxis(x, axis, -1)
+    out = jnp.einsum("oi,...i->...o", m, xm, preferred_element_type=jnp.float32)
+    return jnp.moveaxis(out, -1, axis)
 
 
 def resize_bilinear(
@@ -74,6 +86,28 @@ def resize_bilinear(
     return xf.astype(orig_dtype) if jnp.issubdtype(orig_dtype, jnp.floating) else xf
 
 
+def _nearest_idx(in_size: int, out_size: int):
+    dst = jnp.arange(out_size, dtype=jnp.float32)
+    idx = jnp.floor(dst * (float(in_size) / float(out_size))).astype(jnp.int32)
+    return jnp.minimum(idx, in_size - 1)
+
+
+def _select_axis(x: jnp.ndarray, axis: int, out_size: int):
+    in_size = x.shape[axis]
+    if in_size == out_size:
+        return x
+    idx = _nearest_idx(in_size, out_size)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        # selection-as-matmul (one-hot rows): exact for floats, MXU-friendly
+        m = jnp.zeros((out_size, in_size), jnp.float32).at[
+            jnp.arange(out_size), idx
+        ].set(1.0)
+        xm = jnp.moveaxis(x, axis, -1).astype(jnp.float32)
+        out = jnp.einsum("oi,...i->...o", m, xm, preferred_element_type=jnp.float32)
+        return jnp.moveaxis(out, -1, axis).astype(x.dtype)
+    return jnp.take(x, idx, axis=axis)
+
+
 def resize_nearest(
     x: jnp.ndarray,
     out_hw: Tuple[int, int],
@@ -82,14 +116,6 @@ def resize_nearest(
     """Nearest resize matching torch ``F.interpolate(mode='nearest')``."""
     h_ax = spatial_axes[0] % x.ndim
     w_ax = spatial_axes[1] % x.ndim
-
-    def nearest_idx(in_size: int, out_size: int):
-        dst = jnp.arange(out_size, dtype=jnp.float32)
-        idx = jnp.floor(dst * (float(in_size) / float(out_size))).astype(jnp.int32)
-        return jnp.minimum(idx, in_size - 1)
-
-    if x.shape[h_ax] != out_hw[0]:
-        x = jnp.take(x, nearest_idx(x.shape[h_ax], out_hw[0]), axis=h_ax)
-    if x.shape[w_ax] != out_hw[1]:
-        x = jnp.take(x, nearest_idx(x.shape[w_ax], out_hw[1]), axis=w_ax)
+    x = _select_axis(x, h_ax, out_hw[0])
+    x = _select_axis(x, w_ax, out_hw[1])
     return x
