@@ -43,7 +43,7 @@ class InferenceEngine:
         capacity: Optional[int] = None,
         dtype=jnp.float32,
         chunk: int = 8,
-        use_flash_attention: bool = False,
+        use_flash_attention: Optional[bool] = None,
     ):
         self.cfg = cfg
         self.dtype = dtype
@@ -55,9 +55,12 @@ class InferenceEngine:
         self.tfn_vars = jax.device_put(tflownet_variables)
         self.memorize_every = memorize_every or cfg.TEST.MEMORIZE_EVERY
         self.capacity = capacity or cfg.TEST.MEMORY_CAPACITY
-        # The dense XLA memory read wins at typical bank sizes (the affinity
-        # matmul is one big MXU op); the fused Pallas kernel avoids the
-        # O(M*Q) affinity in HBM and wins for very large banks — opt in.
+        # The dense XLA memory read wins at small bank sizes (one MXU matmul);
+        # the fused Pallas kernel avoids the O(M*Q) affinity in HBM and wins
+        # once the bank is large (measured crossover ~16 slots on v5e:
+        # S=25 -> 3.7 ms flash vs 5.3 ms XLA). Auto-select by capacity.
+        if use_flash_attention is None:
+            use_flash_attention = self.capacity + 1 >= 16
         use_flash = bool(use_flash_attention) and jax.default_backend() != "cpu"
         self.apply = RMNetApply(
             self.rmnet,
