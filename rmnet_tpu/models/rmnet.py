@@ -501,13 +501,16 @@ class RMNetApply:
             variables, state.prev_frame, state.prev_mask, obj_valid
         )
 
-        # commit to the persistent bank at the cursor
+        # commit to the persistent bank: FIFO ring — below capacity this is
+        # exactly the reference's append-only bank; beyond capacity the
+        # OLDEST committed slot is evicted (the reference never evicts and
+        # grows without bound; a fixed ring is the TPU-native policy)
+        write_pos = bank.cursor % S
+
         def write(buf, item):
             return jax.lax.cond(
                 commit,
-                lambda b: jax.lax.dynamic_update_index_in_dim(
-                    b, item, jnp.clip(bank.cursor, 0, S - 1), axis=2
-                ),
+                lambda b: jax.lax.dynamic_update_index_in_dim(b, item, write_pos, axis=2),
                 lambda b: b,
                 buf,
             )
@@ -515,21 +518,18 @@ class RMNetApply:
         new_keys = write(bank.keys, prev_k)
         new_values = write(bank.values, prev_v)
         new_bboxes = write(bank.bboxes, prev_box)
-        new_cursor = jnp.minimum(bank.cursor + commit.astype(jnp.int32), S)
+        new_cursor = bank.cursor + commit.astype(jnp.int32)
 
-        # bank view for this step: committed slots ++ ephemeral prev slot
+        # bank view for this step: committed slots ++ ephemeral prev slot.
+        # The reference builds `this = OLD bank ++ prev` (models/rmnet.py:
+        # 416-422), so prev must appear exactly once: validity uses the OLD
+        # cursor, and when the ring wrapped, the slot just overwritten with
+        # prev is excluded for this step (prev rides the ephemeral slot).
         this_keys = jnp.concatenate([new_keys, prev_k[:, :, None]], axis=2)
         this_values = jnp.concatenate([new_values, prev_v[:, :, None]], axis=2)
         slot_idx = jnp.arange(S + 1)
-        # committed slots valid below cursor; the appended prev always valid.
-        # (when prev was just committed it appears twice — harmless for
-        # softmax? no: duplicated entries WOULD take double mass. The
-        # reference's `this = committed ++ prev` only appends prev when it
-        # was NOT just committed... actually it always rebuilds `this` from
-        # the *old* bank + prev, so prev appears exactly once. Replicate:
-        # use the OLD cursor for validity so a just-committed prev slot is
-        # not double-counted.)
-        slot_valid = slot_idx < jnp.where(commit, bank.cursor, new_cursor)
+        slot_valid = slot_idx < jnp.minimum(bank.cursor, S)
+        slot_valid = slot_valid & ~(commit & (slot_idx == write_pos))
         slot_valid = slot_valid.at[S].set(True)
 
         # ---- segment current frame
