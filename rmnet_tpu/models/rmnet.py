@@ -401,13 +401,15 @@ class RMNetApply:
             expt = prev_mask
         else:
             B, K, H, W = prev_mask.shape
-            # slot 0 never reaches the bbox generator (CUDA loop starts at
-            # i=1) — warp only object channels, then pad slot 0 back
-            m_img = prev_mask[:, 1:].transpose(0, 2, 3, 1)  # (B, H, W, K-1)
+            # ALL K channels are warped even though slot 0 never reaches the
+            # bbox generator: the att-map's constant-ones straight-through
+            # gradient only cancels through the est-mask softmax when it hits
+            # every channel uniformly (sum_k dp_k/dlogit_j = 0). Warping K-1
+            # channels leaves a net bias that measurably anti-trains the
+            # model (reference warps all K, models/rmnet.py:431).
+            m_img = prev_mask.transpose(0, 2, 3, 1)  # (B, H, W, K)
             warped, _ = backward_warp(m_img, flow)
-            expt = jnp.pad(
-                warped.transpose(0, 3, 1, 2), ((0, 0), (1, 0), (0, 0), (0, 0))
-            )
+            expt = warped.transpose(0, 3, 1, 2)
         return regional_attention_map(
             expt, self.prob_threshold, self.n_pts_threshold, self.n_bbox_loose_pixels
         )
