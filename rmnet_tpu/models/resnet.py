@@ -93,8 +93,12 @@ class ResNet50Trunk(nn.Module):
         self.layer2 = _make_layer(128, 4, 2, self.dtype)
         self.layer3 = _make_layer(256, 6, 2, self.dtype)
 
-    def __call__(self, x, extra_stem=None, train_bn: bool = False):
-        x = self.conv1(x)
+    def __call__(self, x, extra_stem=None, train_bn: bool = False, conv1_out=None):
+        """``conv1_out``: precomputed ``conv1(x)`` — lets the memory encoder
+        run the RGB stem once per frame and broadcast it across the
+        per-object batch (the mask/other stems are the only per-object part
+        of the stem, reference models/rmnet.py:73-75)."""
+        x = self.conv1(x) if conv1_out is None else conv1_out
         if extra_stem is not None:
             x = x + extra_stem
         c1 = nn.relu(self.bn1(x, not train_bn))  # 1/2, 64

@@ -42,12 +42,12 @@ from rmnet_tpu.ops import (
     pad_divide_by,
     unpad,
     regional_attention_map,
+    regional_attention_small,
     resize_bilinear,
-    resize_nearest,
-    scale_hw,
     soft_aggregation,
     backward_warp,
 )
+from rmnet_tpu.ops.pad import divide_pads
 
 NEW_OBJECT_SCALE = 32.0605
 NEW_OBJECT_BIAS = -16.1181
@@ -122,6 +122,24 @@ class EncoderMemory(nn.Module):
         r4, _, _, _ = self.trunk(f, extra_stem=extra, train_bn=train_bn)
         return r4
 
+    def shared(self, f, m_bk, o_bk, train_bn: bool = False):
+        """Per-object encode with the RGB conv1 stem computed ONCE per frame.
+
+        f: (B, H, W, 3); m_bk, o_bk: (B*Ko, H, W) per-object batches (object
+        folded into batch, B-major). Exactly ``__call__`` on the broadcast
+        frame — conv1 is linear and object-independent, only the mask/other
+        stems differ per object (reference models/rmnet.py:73-75).
+        """
+        B = f.shape[0]
+        Ko = m_bk.shape[0] // B
+        c1 = self.trunk.conv1(f)  # (B, H/2, W/2, 64)
+        c1 = jnp.broadcast_to(c1[:, None], (B, Ko) + c1.shape[1:]).reshape(
+            (B * Ko,) + c1.shape[1:]
+        )
+        extra = self.conv1_m(m_bk[..., None]) + self.conv1_o(o_bk[..., None])
+        r4, _, _, _ = self.trunk(None, train_bn=train_bn, conv1_out=c1 + extra)
+        return r4
+
 
 class EncoderQuery(nn.Module):
     """RGB-only ResNet-50 trunk (reference models/rmnet.py:83-104)."""
@@ -172,11 +190,19 @@ class Refine(nn.Module):
         self.ResFS = ResBlock(self.planes, dtype=self.dtype)
         self.ResMM = ResBlock(self.planes, dtype=self.dtype)
 
-    def __call__(self, f, pm):
-        s = self.ResFS(self.convFS(f))
+    def skip(self, f):
+        """Skip-feature branch — depends only on the shared encoder feature,
+        so the caller can compute it once per frame and broadcast it across
+        objects (the reference recomputes it per object,
+        models/rmnet.py:332-335 + 114-118)."""
+        return self.ResFS(self.convFS(f))
+
+    def fuse(self, s, pm):
         up_hw = (pm.shape[-3] * self.scale_factor, pm.shape[-2] * self.scale_factor)
-        m = s + resize_bilinear(pm, up_hw, align_corners=False)
-        return self.ResMM(m)
+        return self.ResMM(s + resize_bilinear(pm, up_hw, align_corners=False))
+
+    def __call__(self, f, pm):
+        return self.fuse(self.skip(f), pm)
 
 
 class Decoder(nn.Module):
@@ -198,13 +224,22 @@ class Decoder(nn.Module):
             kernel_init=kaiming_normal_conv_init, dtype=self.dtype,
         )
 
-    def __call__(self, r4, r3, r2):
+    def skips(self, r3, r2):
+        """Per-frame skip features (object-independent half of the decoder)."""
+        return self.RF3.skip(r3), self.RF2.skip(r2)
+
+    def from_skips(self, r4, s3, s2):
+        """Per-object half: r4 is the memory-read output, s3/s2 precomputed."""
         m4 = self.ResMM(self.convFM(r4))
-        m3 = self.RF3(r3, m4)
-        m2 = self.RF2(r2, m3)
+        m3 = self.RF3.fuse(s3, m4)
+        m2 = self.RF2.fuse(s2, m3)
         p2 = self.pred2(nn.relu(m2))
         out_hw = (p2.shape[-3] * 4, p2.shape[-2] * 4)
         return resize_bilinear(p2, out_hw, align_corners=False)
+
+    def __call__(self, r4, r3, r2):
+        s3, s2 = self.skips(r3, r2)
+        return self.from_skips(r4, s3, s2)
 
 
 def memory_read(
@@ -270,6 +305,11 @@ class RMNet(nn.Module):
         r4 = self.encoder_memory(f, m, o, train_bn)
         return self.kv_memory(r4)
 
+    def encode_memory_shared(self, f, m_bk, o_bk, train_bn: bool = False):
+        """Per-object memory encode with the RGB stem shared across objects."""
+        r4 = self.encoder_memory.shared(f, m_bk, o_bk, train_bn)
+        return self.kv_memory(r4)
+
     def encode_query(self, f, train_bn: bool = False):
         r4, r3, r2 = self.encoder_query(f, train_bn)
         k4, v4 = self.kv_query(r4)
@@ -277,6 +317,12 @@ class RMNet(nn.Module):
 
     def decode(self, m4, r3, r2):
         return self.decoder(m4, r3, r2)
+
+    def decode_skips(self, r3, r2):
+        return self.decoder.skips(r3, r2)
+
+    def decode_from_skips(self, m4, s3, s2):
+        return self.decoder.from_skips(m4, s3, s2)
 
     def __call__(self, f, m, o, train_bn: bool = False):
         """Init-only entry touching every submodule so ``init`` builds all params."""
@@ -323,6 +369,12 @@ class RMNetApply:
     train_bn: bool = False
     # fused Pallas memory read (forward-only; training keeps the XLA path)
     use_flash_attention: bool = False
+    # inference-only: skip warping the background channel in get_att_map.
+    # The bbox generator ignores slot 0 (forward-identical), but training
+    # MUST warp all K channels — the constant-ones straight-through att-map
+    # gradient only cancels through the est-mask softmax when every channel
+    # receives it (see get_att_map / tests/test_grad_semantics.py).
+    skip_bg_warp: bool = False
     # rematerialize per scan step (training): keeps only the carry between
     # frames and recomputes within-step activations in the backward pass
     remat: bool = False
@@ -330,8 +382,17 @@ class RMNetApply:
     # ----------------------------------------------------------------- utils
     def _apply(self, variables, method, *args):
         kwargs = {}
-        if method in ("encode_memory", "encode_query"):
+        if method in ("encode_memory", "encode_memory_shared", "encode_query"):
             kwargs["train_bn"] = self.train_bn
+            if self.train_bn:
+                # trainable BN (reference core/train.py:59-66): batch stats
+                # normalize, running stats update -> returned to the caller,
+                # which threads them through the per-frame scan carry
+                out, mut = self.model.apply(
+                    variables, *args, method=method,
+                    mutable=["batch_stats"], **kwargs,
+                )
+                return out, mut["batch_stats"]
         return self.model.apply(variables, *args, method=method, **kwargs)
 
     # ------------------------------------------------------------- memorize
@@ -344,7 +405,8 @@ class RMNetApply:
     ):
         """Encode one frame into per-object regional keys/values.
 
-        Returns (k4, v4, bboxes): (B, K, h, w, Ck/Cv) and (B, K, 4).
+        Returns (k4, v4, bboxes, bn): (B, K, h, w, Ck/Cv), (B, K, 4), and
+        the updated batch_stats collection (None unless ``train_bn``).
         Replaces reference memorize + pad_memory (models/rmnet.py:191-250).
         """
         B, K, H, W = masks.shape
@@ -362,14 +424,14 @@ class RMNetApply:
         # fold object slots into the batch for the encoder (static-shape
         # per-object batch). Slot 0 (background) is never encoded — the
         # reference's pad_memory leaves it zero — so only K-1 slots run,
-        # saving a full encoder pass per frame.
+        # saving a full encoder pass per frame. The RGB conv1 stem is
+        # object-independent and computed once (encode_memory_shared).
         Ko = K - 1
-        f_bk = jnp.broadcast_to(frame_p[:, None], (B, Ko) + frame_p.shape[1:])
-        f_bk = f_bk.reshape((B * Ko,) + frame_p.shape[1:])
         m_bk = masks_p[:, 1:].reshape(B * Ko, Hp, Wp)
         o_bk = others[:, 1:].reshape(B * Ko, Hp, Wp)
 
-        k4, v4 = self._apply(variables, "encode_memory", f_bk, m_bk, o_bk)
+        enc = self._apply(variables, "encode_memory_shared", frame_p, m_bk, o_bk)
+        (k4, v4), bn = enc if self.train_bn else (enc, None)
         h, w = k4.shape[1:3]
         k4 = jnp.pad(k4.reshape(B, Ko, h, w, -1), ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
         v4 = jnp.pad(v4.reshape(B, Ko, h, w, -1), ((0, 0), (1, 0), (0, 0), (0, 0), (0, 0)))
@@ -380,17 +442,18 @@ class RMNetApply:
         k4 = k4 * vk
         v4 = v4 * vk
 
-        # regional memory embedding (models/rmnet.py:243-248); note the
-        # reference's F.interpolate(scale_factor=1/16) defaults to NEAREST
-        att_map, bboxes = regional_attention_map(
-            masks_p, self.prob_threshold, self.n_pts_threshold, self.n_bbox_loose_pixels
+        # regional memory embedding (models/rmnet.py:243-248); the
+        # reference's F.interpolate(scale_factor=1/16) defaults to NEAREST —
+        # rasterized directly on the /16 sample grid (bit-exact, skips the
+        # full-res (B,K,H,W) map entirely)
+        att_small, bboxes = regional_attention_small(
+            masks_p, (h, w), (0, 0), 16,
+            self.prob_threshold, self.n_pts_threshold, self.n_bbox_loose_pixels,
         )
-        att_small = resize_nearest(
-            att_map, scale_hw(Hp, Wp, 1 / 16), spatial_axes=(-2, -1)
-        )[..., None]  # (B, K, h, w, 1)
+        att_small = att_small[..., None]  # (B, K, h, w, 1)
         k4 = k4 * att_small
         v4 = v4 * att_small
-        return k4, v4, bboxes
+        return k4, v4, bboxes, bn
 
     # --------------------------------------------------------------- attmap
     def get_att_map(self, prev_mask: jnp.ndarray, flow: Optional[jnp.ndarray] = None):
@@ -414,37 +477,72 @@ class RMNetApply:
             expt, self.prob_threshold, self.n_pts_threshold, self.n_bbox_loose_pixels
         )
 
+    def get_att_small(
+        self,
+        prev_mask: jnp.ndarray,                 # (B, K, H, W)
+        flow: Optional[jnp.ndarray],            # (B, H, W, 2) or None
+        out_hw: Tuple[int, int],
+        offset: Tuple[int, int],
+    ) -> jnp.ndarray:
+        """``get_att_map`` fused to the /16 grid the consumers sample.
+
+        Identical values to pad+nearest-/16 of ``get_att_map``'s full-res
+        map (see ops/att_map.regional_attention_small). ``skip_bg_warp``
+        drops the background channel from the warp gather at inference —
+        slot 0 never reaches the bbox generator, so the output is unchanged.
+        """
+        if flow is None:
+            expt = prev_mask
+        elif self.skip_bg_warp:
+            m_img = prev_mask[:, 1:].transpose(0, 2, 3, 1)  # (B, H, W, K-1)
+            warped, _ = backward_warp(m_img, flow)
+            expt = jnp.concatenate(
+                [jnp.zeros_like(prev_mask[:, :1]), warped.transpose(0, 3, 1, 2)], axis=1
+            )
+        else:
+            # training: warp ALL K channels (straight-through grad invariant)
+            m_img = prev_mask.transpose(0, 2, 3, 1)
+            warped, _ = backward_warp(m_img, flow)
+            expt = warped.transpose(0, 3, 1, 2)
+        att_small, _ = regional_attention_small(
+            expt, out_hw, offset, 16,
+            self.prob_threshold, self.n_pts_threshold, self.n_bbox_loose_pixels,
+        )
+        return att_small
+
     # -------------------------------------------------------------- segment
     def segment(
         self,
         variables: Dict[str, Any],
         frame: jnp.ndarray,      # (B, H, W, 3)
-        att_map: jnp.ndarray,    # (B, K, H, W) regional query map
+        att_small: jnp.ndarray,  # (B, K, h, w) regional query map at 1/16
         mem_keys: jnp.ndarray,   # (B, K, S, h, w, Ck)
         mem_values: jnp.ndarray, # (B, K, S, h, w, Cv)
         slot_valid: jnp.ndarray, # (S,) or (B, K, S) bool
         obj_valid: jnp.ndarray,  # (B, K) bool
     ) -> jnp.ndarray:
         """One segmentation pass -> (B, K, H, W) logits
-        (reference models/rmnet.py:304-383)."""
+        (reference models/rmnet.py:304-383). ``att_small`` is the /16-grid
+        regional map (get_att_small), matching the reference's full-res map
+        after its F.interpolate(scale_factor=1/16) downsample."""
         B, K, S = mem_keys.shape[:3]
         (frame_p,), pads = pad_divide_by([frame], 16)
-        (att_p,), _ = pad_divide_by([att_map], 16, spatial_axes=(-2, -1))
         Hp, Wp = frame_p.shape[1:3]
 
-        k4, v4, r3, r2 = self._apply(variables, "encode_query", frame_p)
+        enc = self._apply(variables, "encode_query", frame_p)
+        (k4, v4, r3, r2), bn = enc if self.train_bn else (enc, None)
+        if bn is not None:
+            variables = {**variables, "batch_stats": bn}
         h, w = k4.shape[1:3]
 
-        # regional query embedding (models/rmnet.py:355-358); nearest /16.
+        # regional query embedding (models/rmnet.py:355-358).
         # Slot 0 (background) never reaches the reader/decoder — the
         # reference only batches real objects (models/rmnet.py:327-349) —
         # so K-1 slots run, saving a decoder pass per frame.
         Ko = K - 1
-        att_small = resize_nearest(
-            att_p[:, 1:], scale_hw(Hp, Wp, 1 / 16), spatial_axes=(-2, -1)
-        )[..., None]  # (B, Ko, h, w, 1)
-        k4e = k4[:, None] * att_small  # (B, Ko, h, w, Ck)
-        v4e = v4[:, None] * att_small
+        att = att_small[:, 1:, :, :, None]  # (B, Ko, h, w, 1)
+        k4e = k4[:, None] * att  # (B, Ko, h, w, Ck)
+        v4e = v4[:, None] * att
 
         if slot_valid.ndim == 1:
             slot_valid_bk = jnp.broadcast_to(slot_valid[None], (B * Ko, S))
@@ -463,20 +561,24 @@ class RMNetApply:
             slot_valid_bk,
         )
 
-        # decode per object (r3/r2 shared across objects — expand like
-        # models/rmnet.py:332-335)
-        r3e = jnp.broadcast_to(r3[:, None], (B, Ko) + r3.shape[1:]).reshape(
-            (B * Ko,) + r3.shape[1:]
+        # decode per object. The skip branches (convFS/ResFS of RF3/RF2)
+        # depend only on the shared r3/r2 — compute them ONCE per frame and
+        # broadcast, instead of re-running them per object like the
+        # reference (models/rmnet.py:332-335): saves ~61 GMAC per extra
+        # object per frame at 480p, identical math.
+        s3, s2 = self._apply(variables, "decode_skips", r3, r2)
+        s3e = jnp.broadcast_to(s3[:, None], (B, Ko) + s3.shape[1:]).reshape(
+            (B * Ko,) + s3.shape[1:]
         )
-        r2e = jnp.broadcast_to(r2[:, None], (B, Ko) + r2.shape[1:]).reshape(
-            (B * Ko,) + r2.shape[1:]
+        s2e = jnp.broadcast_to(s2[:, None], (B, Ko) + s2.shape[1:]).reshape(
+            (B * Ko,) + s2.shape[1:]
         )
-        logits2 = self._apply(variables, "decode", m4, r3e, r2e)  # (B*Ko, Hp, Wp, 2)
+        logits2 = self._apply(variables, "decode_from_skips", m4, s3e, s2e)  # (B*Ko, Hp, Wp, 2)
         ps = jax.nn.softmax(logits2, axis=-1)[..., 1]  # fg prob (B*Ko, Hp, Wp)
         ps = jnp.pad(ps.reshape(B, Ko, Hp, Wp), ((0, 0), (1, 0), (0, 0), (0, 0)))
 
         logit = soft_aggregation(ps, obj_valid)  # (B, K, Hp, Wp)
-        return unpad(logit, pads, spatial_axes=(-2, -1))
+        return unpad(logit, pads, spatial_axes=(-2, -1)), bn
 
     # ------------------------------------------------------------------ step
     def step(
@@ -493,15 +595,20 @@ class RMNetApply:
     ) -> Tuple[VOSState, jnp.ndarray]:
         """One timestep of the reference loop (models/rmnet.py:410-450).
 
-        Returns (new_state, est_mask_t) with est_mask_t = softmax logits.
+        Returns (new_state, est_mask_t, batch_stats): est_mask_t = softmax
+        logits; batch_stats is the updated BN collection (None unless
+        ``train_bn``) — memorize-encoder stats then query-encoder stats,
+        the reference's per-frame module-call order.
         """
         bank = state.bank
         B, K, S = bank.keys.shape[:3]
 
         # ---- memorize frame t-1 with its estimated mask
-        prev_k, prev_v, prev_box = self.memorize(
+        prev_k, prev_v, prev_box, bn = self.memorize(
             variables, state.prev_frame, state.prev_mask, obj_valid
         )
+        if bn is not None:
+            variables = {**variables, "batch_stats": bn}
 
         # commit to the persistent bank: FIFO ring — below capacity this is
         # exactly the reference's append-only bank; beyond capacity the
@@ -534,10 +641,13 @@ class RMNetApply:
         slot_valid = slot_valid & ~(commit & (slot_idx == write_pos))
         slot_valid = slot_valid.at[S].set(True)
 
-        # ---- segment current frame
-        att_map, _ = self.get_att_map(state.prev_mask, flow)
-        logit = self.segment(
-            variables, frame, att_map, this_keys, this_values, slot_valid, obj_valid
+        # ---- segment current frame (att map fused straight to the /16 grid)
+        H, W = frame.shape[1:3]
+        lw, uw, lh, uh = divide_pads(H, W, 16)
+        out_hw = ((H + lh + uh) // 16, (W + lw + uw) // 16)
+        att_small = self.get_att_small(state.prev_mask, flow, out_hw, (lh, lw))
+        logit, bn = self.segment(
+            variables, frame, att_small, this_keys, this_values, slot_valid, obj_valid
         )
 
         # ---- new-object injection (models/rmnet.py:436-442)
@@ -559,7 +669,7 @@ class RMNetApply:
             exist=exist,
             t=state.t + 1,
         )
-        return new_state, est_mask
+        return new_state, est_mask, bn
 
     # ------------------------------------------------------------ init state
     def init_state(
@@ -624,7 +734,7 @@ class RMNetApply:
                 flow = tfn_apply(frame, carry.prev_frame)
             else:
                 frame, gt_mask, new_t, commit_t, valid_t, flow = xs
-            new_state, est = self.step(
+            new_state, est, _ = self.step(
                 variables, carry, frame, flow, gt_mask, new_t, commit_t, obj_valid
             )
             keep = lambda n, o: jnp.where(valid_t, n, o) if n.dtype == o.dtype else n
@@ -649,7 +759,9 @@ class RMNetApply:
         """Whole-sequence forward via lax.scan (training / short-clip eval).
 
         Returns est_masks (B, T, K, H, W); frame 0 is the ground truth
-        (models/rmnet.py:397).
+        (models/rmnet.py:397). When ``train_bn``, returns
+        (est_masks, batch_stats) — the BN running stats after the whole
+        sequence, threaded through the scan carry.
         """
         B, T, K, H, W = masks.shape
         n_max = jnp.max(n_objects, axis=1)  # (B,)
@@ -671,13 +783,17 @@ class RMNetApply:
         )
 
         step_fn = jax.checkpoint(self.step) if self.remat else self.step
+        params_only = {k: v for k, v in variables.items() if k != "batch_stats"}
+        bn0 = variables.get("batch_stats") if self.train_bn else None
 
         def body(carry, xs):
+            st, bn = carry
             frame, flow, gt_mask, new_t, commit_tm1 = xs
-            new_state, est = step_fn(
-                variables, carry, frame, flow, gt_mask, new_t, commit_tm1, obj_valid
+            vars_t = {**params_only, "batch_stats": bn} if bn is not None else variables
+            new_state, est, bn_new = step_fn(
+                vars_t, st, frame, flow, gt_mask, new_t, commit_tm1, obj_valid
             )
-            return new_state, est
+            return (new_state, bn_new if bn_new is not None else bn), est
 
         xs = (
             frames[:, 1:].swapaxes(0, 1),         # (T-1, B, H, W, 3)
@@ -686,7 +802,10 @@ class RMNetApply:
             any_new[1:],
             commit[:-1],                           # commit decision for frame t-1
         )
-        _, est_seq = jax.lax.scan(body, state, xs)  # (T-1, B, K, H, W)
+        (_, bn_out), est_seq = jax.lax.scan(body, (state, bn0), xs)
         est_seq = est_seq.swapaxes(0, 1)  # (B, T-1, K, H, W)
         est0 = masks[:, :1].astype(est_seq.dtype)
-        return jnp.concatenate([est0, est_seq], axis=1)
+        est = jnp.concatenate([est0, est_seq], axis=1)
+        if self.train_bn:
+            return est, bn_out
+        return est

@@ -20,7 +20,7 @@ numpy/torch implementations for exact semantic parity with the reference:
 from rmnet_tpu.ops.pad import pad_divide_by, unpad
 from rmnet_tpu.ops.resize import resize_bilinear, resize_nearest, scale_hw
 from rmnet_tpu.ops.warp import backward_warp
-from rmnet_tpu.ops.att_map import regional_attention_map
+from rmnet_tpu.ops.att_map import regional_attention_map, regional_attention_small
 from rmnet_tpu.ops.aggregation import soft_aggregation
 from rmnet_tpu.ops.losses import lovasz_loss, nll_loss, l1_loss, focal_loss
 
@@ -32,6 +32,7 @@ __all__ = [
     "scale_hw",
     "backward_warp",
     "regional_attention_map",
+    "regional_attention_small",
     "soft_aggregation",
     "lovasz_loss",
     "nll_loss",

@@ -33,12 +33,13 @@ import jax.numpy as jnp
 _BIG = 32767  # CUDA kernel init value for mins (reg_att_map_generator.cu:31-34)
 
 
-def _forward(
+def _bboxes(
     mask: jnp.ndarray,
     prob_threshold: float,
     n_pts_threshold: int,
     n_bbox_loose_pixels: int,
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
+) -> jnp.ndarray:
+    """(B, K, 4) int32 dilated bboxes (x_min, x_max, y_min, y_max)."""
     B, K, H, W = mask.shape
     hit = mask >= prob_threshold  # (B, K, H, W)
     n_pts = jnp.sum(hit, axis=(2, 3), dtype=jnp.int32)  # (B, K)
@@ -70,14 +71,28 @@ def _forward(
     y_min = jnp.where(obj, y_min, zero)
     y_max = jnp.where(obj, y_max, zero)
 
+    return jnp.stack([x_min, x_max, y_min, y_max], axis=-1)  # (B, K, 4)
+
+
+def _forward(
+    mask: jnp.ndarray,
+    prob_threshold: float,
+    n_pts_threshold: int,
+    n_bbox_loose_pixels: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    B, K, H, W = mask.shape
+    bboxes = _bboxes(mask, prob_threshold, n_pts_threshold, n_bbox_loose_pixels)
+    x_min, x_max, y_min, y_max = (bboxes[..., i] for i in range(4))
+    obj = jnp.arange(K, dtype=jnp.int32)[None, :] >= 1  # (1, K)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
+    ys = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H), 2)
+
     # rasterize as an outer product of 1-D range masks
     inside_x = (xs >= x_min[..., None]) & (xs <= x_max[..., None])  # (B, K, W)
     inside_y = (ys >= y_min[..., None]) & (ys <= y_max[..., None])  # (B, K, H)
     att = (
         inside_y[..., :, None] & inside_x[..., None, :] & obj[..., None, None]
     ).astype(mask.dtype)
-
-    bboxes = jnp.stack([x_min, x_max, y_min, y_max], axis=-1)  # (B, K, 4)
     return att, bboxes
 
 
@@ -114,3 +129,85 @@ def _bwd(prob_threshold, n_pts_threshold, n_bbox_loose_pixels, res, cotangents):
 
 
 regional_attention_map.defvjp(_fwd, _bwd)
+
+
+def _raster_small(
+    bboxes: jnp.ndarray,       # (B, K, 4) int32
+    out_hw: Tuple[int, int],   # coarse grid size (h, w)
+    offset: Tuple[int, int],   # (top, left) zero-padding applied before sampling
+    stride: int,
+    dtype,
+) -> jnp.ndarray:
+    """Rasterize bboxes directly on the /stride nearest-sample grid.
+
+    Bit-exact shortcut for
+    ``resize_nearest(pad(rasterize_full(bboxes), offset), out_hw)``:
+    torch-nearest downsampling by 1/stride samples source pixel
+    ``stride * i`` (ops/resize.py:_nearest_idx with in/out = stride), and the
+    symmetric /16 padding shifts the frame by (top, left) — so coarse cell
+    (i, j) is inside iff ``stride*i - top`` ∈ [y_min, y_max] and
+    ``stride*j - left`` ∈ [x_min, x_max]. Out-of-frame samples (the padding
+    ring) fall outside every in-frame bbox automatically.
+    """
+    B, K = bboxes.shape[:2]
+    h, w = out_hw
+    top, left = offset
+    x_min, x_max, y_min, y_max = (bboxes[..., i] for i in range(4))
+    xs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, w), 2) * stride - left
+    ys = jax.lax.broadcasted_iota(jnp.int32, (1, 1, h), 2) * stride - top
+    inside_x = (xs >= x_min[..., None]) & (xs <= x_max[..., None])  # (B, K, w)
+    inside_y = (ys >= y_min[..., None]) & (ys <= y_max[..., None])  # (B, K, h)
+    obj = jnp.arange(K, dtype=jnp.int32)[None, :] >= 1
+    att = inside_y[..., :, None] & inside_x[..., None, :] & obj[..., None, None]
+    return att.astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def regional_attention_small(
+    mask: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    offset: Tuple[int, int] = (0, 0),
+    stride: int = 16,
+    prob_threshold: float = 0.5,
+    n_pts_threshold: int = 10,
+    n_bbox_loose_pixels: int = 64,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused regional att-map straight at 1/stride resolution.
+
+    Replaces the hot-loop chain full-res-rasterize -> pad -> nearest /16
+    (reference models/rmnet.py:243-248, 355-358 compute the map at full
+    resolution and downsample with F.interpolate(scale_factor=1/16)) with a
+    direct rasterization on the coarse sample grid — same values, none of
+    the (B, K, H, W) full-res materialization.
+
+    Args:
+      mask: (B, K, H, W) per-object soft masks (slot 0 = background).
+      out_hw: coarse output grid (h, w).
+      offset: (top, left) of the /16 zero-padding applied between bbox space
+        and the sampled full-res frame (0 when the mask is already padded).
+
+    Returns:
+      att_small: (B, K, h, w) binary maps, dtype of ``mask``.
+      bboxes:    (B, K, 4) int32 in *mask* coordinates (x_min, x_max, y_min,
+                 y_max), identical to ``regional_attention_map``'s.
+    """
+    bboxes = _bboxes(mask, prob_threshold, n_pts_threshold, n_bbox_loose_pixels)
+    att = _raster_small(bboxes, out_hw, offset, stride, mask.dtype)
+    return att, bboxes
+
+
+def _small_fwd(mask, out_hw, offset, stride, pt, npt, loose):
+    out = regional_attention_small(mask, out_hw, offset, stride, pt, npt, loose)
+    # shape/dtype-only residual (a lazy broadcast, never materialized)
+    sentinel = jnp.broadcast_to(jnp.zeros((), mask.dtype), mask.shape)
+    return out, sentinel
+
+
+def _small_bwd(out_hw, offset, stride, pt, npt, loose, res, cotangents):
+    # Same constant-ones straight-through gradient as the full-res op: the
+    # reference wrapper returns ones(mask.shape) regardless of the upstream
+    # cotangent (extensions/reg_att_map_generator/__init__.py:22-24).
+    return (jnp.ones(res.shape, res.dtype),)
+
+
+regional_attention_small.defvjp(_small_fwd, _small_bwd)

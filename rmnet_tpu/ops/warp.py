@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -67,6 +68,58 @@ def grid_sample_bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jn
     return out.astype(img.dtype)
 
 
+def _grid_sample_packed_bf16(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """2-gather bilinear sampling for bfloat16 images.
+
+    Gathers dominate TPU warp cost (no hardware gather: ~1 ms per
+    410k-index ``take_along_axis`` on v5e, and the generic path issues 4).
+    Packing each bf16 pixel with its x-neighbor into one float32 lane
+    (bitcast of 2x bf16) makes ONE flat gather return both x-taps of a row:
+    4 gathers -> 2. Tap values are the exact bf16 pixels; weights and
+    accumulation are float32. Edge handling: the gather reads at
+    ``clip(x0, 0, W-2)``, and lane selection puts the true tap in place —
+    out-of-frame taps are zeroed exactly like the generic path.
+    """
+    B, H, W, C = img.shape
+    nxt = jnp.concatenate([img[:, :, 1:], jnp.zeros_like(img[:, :, :1])], axis=2)
+    pairs = jnp.stack([img, nxt], axis=-1)  # (B, H, W, C, 2) bf16
+    packed = jax.lax.bitcast_convert_type(pairs, jnp.float32)  # (B, H, W, C)
+    flat = packed.reshape(B, H * W, C)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    xc = jnp.clip(x0, 0, W - 2).astype(jnp.int32)
+    sel = ((x0 >= 0) & (x0 <= W - 2))[..., None]       # gather lane0 == tap x0
+    vx0 = ((x0 >= 0) & (x0 <= W - 1))[..., None]
+    vx1 = ((x0 >= -1) & (x0 <= W - 2))[..., None]      # x0+1 in frame
+
+    def row_taps(yf):
+        vy = ((yf >= 0) & (yf <= H - 1))[..., None]
+        idx = jnp.clip(yf, 0, H - 1).astype(jnp.int32) * W + xc
+        vals = jnp.take_along_axis(flat, idx.reshape(B, H * W, 1), axis=1)
+        two = jax.lax.bitcast_convert_type(vals.reshape(B, H, W, C), jnp.bfloat16)
+        lane0 = two[..., 0].astype(jnp.float32)
+        lane1 = two[..., 1].astype(jnp.float32)
+        t0 = jnp.where(sel, lane0, lane1) * (vx0 & vy)
+        t1 = jnp.where(sel, lane1, lane0) * (vx1 & vy)
+        return t0, t1
+
+    a0, a1 = row_taps(y0)
+    b0, b1 = row_taps(y0 + 1.0)
+    out = (
+        a0 * (wy0 * wx0)[..., None]
+        + a1 * (wy0 * wx1)[..., None]
+        + b0 * (wy1 * wx0)[..., None]
+        + b1 * (wy1 * wx1)[..., None]
+    )
+    return out.astype(img.dtype)
+
+
 def backward_warp(
     img: jnp.ndarray, flow: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -85,12 +138,19 @@ def backward_warp(
         img = img[..., None]
     B, H, W, C = img.shape
 
-    xs = jnp.arange(W, dtype=flow.dtype)[None, None, :]
-    ys = jnp.arange(H, dtype=flow.dtype)[None, :, None]
-    x = xs + flow[..., 0]
-    y = ys + flow[..., 1]
+    # coordinate math is always float32: a bf16 pixel grid quantizes to
+    # multiples of 4 beyond x=512, which would corrupt the sample positions
+    # on 480p-wide frames (values stay in the image dtype)
+    flow32 = flow.astype(jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    x = xs + flow32[..., 0]
+    y = ys + flow32[..., 1]
 
-    warped = grid_sample_bilinear(img, x, y)
+    if img.dtype == jnp.bfloat16 and W >= 2:
+        warped = _grid_sample_packed_bf16(img, x, y)
+    else:
+        warped = grid_sample_bilinear(img, x, y)
     # ones-warp in closed form (== grid_sample of an all-ones image)
     ones = _axis_coverage(y, H) * _axis_coverage(x, W)
     # Reference binarization: <0.9999 -> 0, >0 -> 1 (models/rmnet.py:274-275).
