@@ -127,6 +127,13 @@ class Train:
     CKPT_SAVE_FREQ: int = 1
     CKPT_SAVE_THRESHOLD: float = 0.71
     MEMORIZE_EVERY: int = 1
+    # ImageNet-pretrained encoder initialization (the reference builds both
+    # encoders from torchvision resnet50(pretrained=True),
+    # models/rmnet.py:57,86, and kaiming-inits only the heads,
+    # core/train.py:50-53). Path to a torchvision-format resnet50 state
+    # dict (.pth), or "torchvision" to pull from the local torchvision
+    # cache. None = random init (not recommended for real training).
+    BACKBONE_WEIGHTS: Optional[str] = None
     AUGMENTATION: Augmentation = field(default_factory=Augmentation)
     # TPU-specific additions
     DATA_PARALLEL: int = 1  # devices along the batch axis of the mesh
@@ -144,7 +151,11 @@ class Test:
     FLIP_LR: bool = False
     FRAME_SCALES: Tuple[float, ...] = (1.0,)
     TESTING_VIDEOS_INDEXES: Tuple[int, ...] = (0, 2, 3, 8, 10, 18, 19, 24, 27, 29)
-    MEMORY_CAPACITY: int = 24  # bank slots (>= ceil(max_frames / memorize_every))
+    # bank slots; 0 = AUTO — derive per video from its commit count
+    # (bucketed for compile reuse) so the bank never evicts, matching the
+    # reference's unbounded bank (models/rmnet.py:420-422). A fixed value
+    # evicts the oldest committed memory on long videos (warned loudly).
+    MEMORY_CAPACITY: int = 0
 
 
 @dataclass

@@ -44,38 +44,81 @@ class InferenceEngine:
         dtype=jnp.float32,
         chunk: int = 8,
         use_flash_attention: Optional[bool] = None,
+        device=None,
+        apply_overrides: Optional[Dict[str, Any]] = None,
     ):
         self.cfg = cfg
         self.dtype = dtype
         self.chunk = chunk
         self.rmnet = RMNet(dtype=dtype if dtype != jnp.float32 else None)
         self.tflownet = TinyFlowNet(dtype=dtype if dtype != jnp.float32 else None)
-        # weights are device-resident for the engine's lifetime
-        self.rmnet_vars = jax.device_put(rmnet_variables)
-        self.tfn_vars = jax.device_put(tflownet_variables)
+        # weights are device-resident for the engine's lifetime; an explicit
+        # ``device`` pins the whole engine there (eval-farm replicas — the
+        # TPU twin of the reference's per-GPU .cuda(device) pinning,
+        # utils/eval_server.py:78-87)
+        self.rmnet_vars = jax.device_put(rmnet_variables, device)
+        self.tfn_vars = jax.device_put(tflownet_variables, device)
         self.memorize_every = memorize_every or cfg.TEST.MEMORIZE_EVERY
-        self.capacity = capacity or cfg.TEST.MEMORY_CAPACITY
+        # capacity 0 = AUTO: derive per video so the bank never evicts (the
+        # reference's bank grows without bound and never evicts,
+        # models/rmnet.py:420-422); a fixed capacity evicts the oldest slot
+        # on long videos, which silently diverges — warned loudly in _run.
+        self.capacity = capacity if capacity is not None else cfg.TEST.MEMORY_CAPACITY
+        self._use_flash_pref = use_flash_attention
+        # base apply config; _apply_for() only swaps the per-capacity flash
+        # choice, so both ``apply_overrides`` and direct ``engine.apply = …``
+        # assignment are honored by every run path
+        self.apply = RMNetApply(
+            self.rmnet,
+            memorize_every=self.memorize_every,
+            skip_bg_warp=True,  # inference: slot 0 never reaches the bbox op
+            **(apply_overrides or {}),
+        )
+        self._chunk_fns: Dict[Tuple, Any] = {}
+        self._flow_fn = None
+
+    def _apply_for(self, capacity: int) -> RMNetApply:
         # The dense XLA memory read wins at small bank sizes (one MXU matmul);
         # the fused Pallas kernel avoids the O(M*Q) affinity in HBM and wins
         # once the bank is large (measured crossover ~16 slots on v5e:
         # S=25 -> 3.7 ms flash vs 5.3 ms XLA). Auto-select by capacity.
-        if use_flash_attention is None:
-            use_flash_attention = self.capacity + 1 >= 16
-        use_flash = bool(use_flash_attention) and jax.default_backend() != "cpu"
-        self.apply = RMNetApply(
-            self.rmnet,
-            memorize_every=self.memorize_every,
-            use_flash_attention=use_flash,
-        )
-        self._chunk_fns: Dict[Tuple[bool, bool], Any] = {}
-        self._flow_fn = None
+        import dataclasses
+
+        use_flash = self._use_flash_pref
+        if use_flash is None:
+            use_flash = capacity + 1 >= 16
+        use_flash = bool(use_flash) and jax.default_backend() != "cpu"
+        return dataclasses.replace(self.apply, use_flash_attention=use_flash)
+
+    def _capacity_for(self, T: int, commit: np.ndarray) -> int:
+        """Per-video bank capacity: exact commit count, bucketed to a
+        multiple of 8 so videos share compiled programs; a configured
+        fixed capacity is honored but warned about when it would evict."""
+        needed = int(np.sum(commit[: max(T - 1, 1)]))
+        if self.capacity:
+            if needed > self.capacity:
+                import logging
+
+                logging.warning(
+                    "memory bank capacity %d < %d commits for a %d-frame "
+                    "video: the %d oldest committed memories (including "
+                    "frame 0's ground-truth memory) will be evicted — the "
+                    "reference never evicts. Set TEST.MEMORY_CAPACITY=0 "
+                    "for auto sizing.",
+                    self.capacity, needed, T, needed - self.capacity,
+                )
+            return self.capacity
+        return max(8, -(-needed // 8) * 8)
 
     # ------------------------------------------------------------- jit fns
     def _get_chunk_fn(self, use_tfn_flow: bool, return_probs: bool,
-                      raw_inputs: bool = False, n_slots: int = 0):
-        key = (use_tfn_flow, return_probs, raw_inputs, n_slots)
+                      raw_inputs: bool = False, n_slots: int = 0,
+                      capacity: Optional[int] = None):
+        apply = self._apply_for(capacity if capacity is not None
+                                else (self.capacity or 16))
+        key = (use_tfn_flow, return_probs, raw_inputs, n_slots,
+               apply.use_flash_attention)
         if key not in self._chunk_fns:
-            apply = self.apply
             tfn = self.tflownet
             tfn_vars = self.tfn_vars
             mean = jnp.asarray(self.cfg.CONST.DATASET_MEAN, jnp.float32)
@@ -175,15 +218,17 @@ class InferenceEngine:
             ((np.arange(K) >= 1) & (np.arange(K) <= n_max))[None]
         )
         any_new, commit = self._video_flags(n_objects, T)
+        capacity = self._capacity_for(T, commit)
 
         state = self.apply.init_state(
             jnp.asarray(frames[None, 0].astype(np.float32)),
             jnp.asarray(masks[None, 0].astype(np.float32)),
-            capacity=self.capacity,
+            capacity=capacity,
             dtype=self.dtype,
         )
         chunk_fn = self._get_chunk_fn(use_tfn_flow=flows is None,
-                                      return_probs=return_probs)
+                                      return_probs=return_probs,
+                                      capacity=capacity)
 
         if return_probs:
             out = np.zeros((T, K, H, W), np.float32)
@@ -274,6 +319,7 @@ class InferenceEngine:
         n_max = int(np.max(n_objects))
         obj_valid = jnp.asarray(((np.arange(K) >= 1) & (np.arange(K) <= n_max))[None])
         any_new, commit = self._video_flags(n_objects, T)
+        capacity = self._capacity_for(T, commit)
 
         mean = np.asarray(self.cfg.CONST.DATASET_MEAN, np.float32)
         std = np.asarray(self.cfg.CONST.DATASET_STD, np.float32)
@@ -281,10 +327,11 @@ class InferenceEngine:
         masks0 = np.stack([(gt_labels[0] == k) for k in range(K)]).astype(np.float32)
         state = self.apply.init_state(
             jnp.asarray(frame0[None]), jnp.asarray(masks0[None]),
-            capacity=self.capacity, dtype=self.dtype,
+            capacity=capacity, dtype=self.dtype,
         )
         chunk_fn = self._get_chunk_fn(
-            use_tfn_flow=True, return_probs=False, raw_inputs=True, n_slots=K
+            use_tfn_flow=True, return_probs=False, raw_inputs=True, n_slots=K,
+            capacity=capacity,
         )
 
         out = np.zeros((T, H, W), np.uint8)
