@@ -41,7 +41,11 @@ from rmnet_tpu.models.rmnet import RMNetApply
 from rmnet_tpu.ops import l1_loss, lovasz_loss, nll_loss
 from rmnet_tpu.parallel import make_mesh, shard_batch
 from rmnet_tpu.utils.average_meter import AverageMeter
-from rmnet_tpu.utils.checkpoint import load_weights_auto, save_checkpoint
+from rmnet_tpu.utils.checkpoint import (
+    load_backbone_weights,
+    load_weights_auto,
+    save_checkpoint,
+)
 from rmnet_tpu.utils.metrics import Metrics
 from rmnet_tpu.utils.summary import SummaryWriter
 
@@ -76,24 +80,29 @@ def make_train_step(cfg, apply: RMNetApply, tflownet, optimizer, remat: bool = T
 
     def rmnet_loss(params, extra_vars, batch):
         variables = {"params": params, **extra_vars}
-        est = apply.forward_video(variables, batch["frames"], batch["masks"],
+        out = apply.forward_video(variables, batch["frames"], batch["masks"],
                                   batch["flows"], batch["n_objects"])
+        # trainable BN returns the scan-threaded running stats as aux
+        est, bn = out if apply.train_bn else (out, None)
         probs = est[:, 1:]  # (B, T-1, K, H, W)
         labels = jnp.argmax(batch["masks"][:, 1:], axis=2)  # (B, T-1, H, W)
         probs_cl = jnp.moveaxis(probs, 2, -1)  # channels-last
         log_probs = jnp.log(jnp.maximum(probs_cl, 1e-30))
-        return lovasz_loss(probs_cl, labels, ignore) + nll_loss(log_probs, labels, ignore)
+        loss = lovasz_loss(probs_cl, labels, ignore) + nll_loss(log_probs, labels, ignore)
+        return loss, bn
 
     def tfn_loss(params, extra_vars, batch):
         variables = {"params": params, **extra_vars}
         est_flows = tflownet.apply(variables, batch["frames"])
-        return l1_loss(est_flows, batch["flows"])
+        return l1_loss(est_flows, batch["flows"]), None
 
     loss_fn = rmnet_loss if network == "RMNet" else tfn_loss
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, extra_vars, batch, lr):
-        loss, grads = jax.value_and_grad(loss_fn)(params, extra_vars, batch)
+        (loss, bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, extra_vars, batch
+        )
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(
             params, jax.tree_util.tree_map(lambda u: -lr * u, updates)
@@ -109,7 +118,12 @@ def make_train_step(cfg, apply: RMNetApply, tflownet, optimizer, remat: bool = T
 
         new_params = jax.tree_util.tree_map(keep, new_params, params)
         new_opt_state = jax.tree_util.tree_map(keep, new_opt_state, opt_state)
-        return new_params, new_opt_state, loss
+        new_extra = extra_vars
+        if bn is not None:
+            new_extra = {**extra_vars, "batch_stats": jax.tree_util.tree_map(
+                keep, bn, extra_vars["batch_stats"]
+            )}
+        return new_params, new_opt_state, new_extra, loss
 
     return train_step
 
@@ -130,6 +144,15 @@ def train_net(cfg):
 
     dtype = jnp.bfloat16 if cfg.TRAIN.BF16 else None
     rmnet, tflownet, rm_vars, tfn_vars = build_models(cfg, cfg.CONST.RNG_SEED, dtype)
+
+    # pretrained-encoder initialization (reference models/rmnet.py:57,86 +
+    # core/train.py:50-53: torchvision resnet50 trunks, kaiming heads)
+    if cfg.TRAIN.BACKBONE_WEIGHTS:
+        rm_vars, n_imported = load_backbone_weights(cfg.TRAIN.BACKBONE_WEIGHTS, rm_vars)
+        logging.info(
+            "Initialized both encoder trunks from %s (%d tensors).",
+            cfg.TRAIN.BACKBONE_WEIGHTS, n_imported,
+        )
     n_params_rm = sum(x.size for x in jax.tree_util.tree_leaves(rm_vars["params"]))
     n_params_tf = sum(x.size for x in jax.tree_util.tree_leaves(tfn_vars["params"]))
     logging.info("Parameters in TinyFlowNet: %d.", n_params_tf)
@@ -240,7 +263,7 @@ def train_net(cfg):
                 }
                 if mesh is not None:
                     batch = shard_batch(batch, mesh)
-                params, opt_state, loss = train_step(
+                params, opt_state, extra_vars, loss = train_step(
                     params, opt_state, extra_vars, batch, lr
                 )
                 loss = float(loss)

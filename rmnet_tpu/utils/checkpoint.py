@@ -82,3 +82,55 @@ def _to_mutable(tree):
     if isinstance(tree, dict):
         return {k: _to_mutable(v) for k, v in tree.items()}
     return np.asarray(tree)
+
+
+def load_backbone_weights(source: str, rmnet_variables):
+    """ImageNet-pretrained encoder initialization for training.
+
+    Loads a torchvision-format ResNet-50 state dict into BOTH encoder
+    trunks (conv1/bn1/layer1..3 params + running stats), leaving the
+    kaiming-initialized heads and mask stems untouched — the reference's
+    init scheme (models/rmnet.py:57,86 builds the encoders from
+    ``torchvision.models.resnet50(pretrained=True)``; core/train.py:50-53
+    re-inits only kv/decoder heads).
+
+    ``source``: path to a ``.pth``/``.pt`` state dict (raw resnet50, or a
+    checkpoint dict with a ``state_dict``/``model`` entry), or the token
+    ``"torchvision"`` to load via torchvision's local weight cache.
+
+    Returns (variables, n_imported) with the trunks filled in.
+    """
+    from rmnet_tpu.models.torch_import import import_resnet50_into_trunk
+
+    if source == "torchvision":
+        import torchvision  # local cache only; no download in this env
+
+        sd = torchvision.models.resnet50(
+            weights=torchvision.models.ResNet50_Weights.IMAGENET1K_V1
+        ).state_dict()
+    else:
+        import torch
+
+        obj = torch.load(source, map_location="cpu", weights_only=False)
+        sd = obj
+        for key in ("state_dict", "model"):
+            if isinstance(sd, dict) and key in sd and isinstance(sd[key], dict):
+                sd = sd[key]
+        if hasattr(sd, "state_dict"):
+            sd = sd.state_dict()
+
+    variables, missing = import_resnet50_into_trunk(_to_mutable(rmnet_variables), sd)
+    # trunk leaves that were NOT matched are reported in ``missing``; the
+    # imported count is total trunk leaves minus those
+    n_trunk = sum(
+        1
+        for collection in variables
+        for enc in ("encoder_memory", "encoder_query")
+        for _ in jax.tree_util.tree_leaves(
+            variables[collection].get(enc, {}).get("trunk", {})
+        )
+    )
+    n_imported = n_trunk - len(missing)
+    if n_imported <= 0:
+        raise ValueError(f"no trunk weights imported from {source}")
+    return variables, n_imported

@@ -156,7 +156,7 @@ def test_tinyflownet_train_step():
     params = tfn_vars["params"]
     opt_state = optimizer.init(params)
     p1 = jax.tree_util.tree_leaves(params)[0].copy()
-    params, opt_state, loss = step(params, opt_state, {}, batch, jnp.asarray(1e-4))
+    params, opt_state, _, loss = step(params, opt_state, {}, batch, jnp.asarray(1e-4))
     assert np.isfinite(float(loss))
     p2 = jax.tree_util.tree_leaves(params)[0]
     assert not np.allclose(np.asarray(p1), np.asarray(p2))  # params moved
