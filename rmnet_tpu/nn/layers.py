@@ -112,14 +112,16 @@ class BatchNorm2d(nn.Module):
 
     Frozen (eval) mode by default — the reference trains with both nets in
     .eval() (core/train.py:138-143), so running stats are used everywhere.
-    ``use_running_average=False`` computes batch stats and, when
-    ``axis_name`` is set, syncs them across the mesh with pmean
-    (SyncBatchNorm parity, core/train.py:59-66).
+    ``use_running_average=False`` computes batch stats (the trainable path;
+    requires the caller to apply with ``mutable=['batch_stats']``). Under
+    pjit/GSPMD the batch axis is sharded but the program is one logical
+    computation, so ``jnp.mean`` over the batch is already the GLOBAL mean —
+    XLA inserts the cross-device reduction. That is SyncBatchNorm semantics
+    (reference core/train.py:59-66) with no explicit pmean needed.
     """
 
     momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
     eps: float = 1e-5
-    axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = True):
@@ -132,11 +134,9 @@ class BatchNorm2d(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            mean = jnp.mean(x, axis=(0, 1, 2))
-            var = jnp.mean(jnp.square(x), axis=(0, 1, 2)) - jnp.square(mean)
-            if self.axis_name is not None:
-                mean = jax.lax.pmean(mean, self.axis_name)
-                var = jax.lax.pmean(var, self.axis_name)
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.mean(jnp.square(xf), axis=(0, 1, 2)) - jnp.square(mean)
             if not self.is_initializing():
                 n = x.shape[0] * x.shape[1] * x.shape[2]
                 # torch uses the unbiased variance for the running stat
