@@ -17,6 +17,7 @@ from typing import Dict, Optional, Set
 from rmnet_tpu.core.engine import InferenceEngine, build_models
 from rmnet_tpu.core.test import test_net
 from rmnet_tpu.data import DataLoader, DatasetCollector, DatasetSubset
+from rmnet_tpu.parallel.eval_farm import DeviceFarm
 from rmnet_tpu.utils.checkpoint import load_weights_auto
 from rmnet_tpu.utils.metrics import Metrics
 from rmnet_tpu.utils.summary import SummaryWriter
@@ -69,11 +70,6 @@ def eval_server(cfg, ckpt_dir: str, poll_seconds: float = 15.0,
     With ``remote_url``, new .pth checkpoints are scraped+downloaded from an
     HTTP directory listing into ``ckpt_dir`` before each scan (the reference
     eval_server's --remote mode)."""
-    val_loader = DataLoader(
-        DatasetCollector.get_dataset(cfg, cfg.DATASET.TEST_DATASET, DatasetSubset.VAL),
-        batch_size=1,
-        shuffle=False,
-    )
     log_dir = os.path.join(cfg.DIR.OUTPUT_DIR, "logs", cfg.CONST.EXP_NAME)
     writer = SummaryWriter(log_dir, "eval_server")
 
@@ -88,24 +84,20 @@ def eval_server(cfg, ckpt_dir: str, poll_seconds: float = 15.0,
                 fetch_remote_checkpoints(remote_url, ckpt_dir, evaluated)
             except Exception as ex:
                 logging.warning("remote checkpoint fetch failed: %s", ex)
-        for path in get_checkpoints(ckpt_dir, evaluated):
-            name = os.path.basename(path)
-            evaluated.add(name)
-            try:
-                _, _, rm_vars, tfn_vars = build_models(cfg, cfg.CONST.RNG_SEED)
-                rm_vars, tfn_vars, _ = load_weights_auto(path, rm_vars, tfn_vars)
-                engine = InferenceEngine(cfg, rm_vars, tfn_vars)
-                metrics = test_net(cfg, -1, val_loader, None, engine)
-            except Exception as ex:  # skip bad checkpoints, keep serving
-                logging.exception(ex)
-                continue
-            scores[path] = metrics
-            jf = metrics.state_dict()[cfg.TEST.MAIN_METRIC_NAME]
-            writer.add_scalar("EvalServer/%s" % cfg.TEST.MAIN_METRIC_NAME, jf, iteration)
-            logging.info("Evaluated %s: %s", name, metrics)
-
-            if best_path is None or metrics.better_than(scores.get(best_path)):
-                best_path = path
+        fresh = get_checkpoints(ckpt_dir, evaluated)
+        evaluated.update(os.path.basename(p) for p in fresh)
+        if fresh:
+            results = evaluate_checkpoints_farm(cfg, fresh)
+            for path, metrics in zip(fresh, results):
+                if metrics is None:  # skip bad checkpoints, keep serving
+                    continue
+                scores[path] = metrics
+                jf = metrics.state_dict()[cfg.TEST.MAIN_METRIC_NAME]
+                writer.add_scalar("EvalServer/%s" % cfg.TEST.MAIN_METRIC_NAME,
+                                  jf, iteration)
+                logging.info("Evaluated %s: %s", os.path.basename(path), metrics)
+                if best_path is None or metrics.better_than(scores.get(best_path)):
+                    best_path = path
             if keep_best_only:
                 # keep only the best checkpoint on disk
                 # (reference utils/eval_server.py:225-236)
@@ -117,3 +109,33 @@ def eval_server(cfg, ckpt_dir: str, poll_seconds: float = 15.0,
             time.sleep(poll_seconds)
     writer.close()
     return best_path, scores
+
+
+def evaluate_checkpoints_farm(cfg, paths):
+    """Evaluate checkpoints concurrently, one model replica per device.
+
+    The TPU twin of the reference's thread-per-GPU checkpoint farm
+    (utils/eval_server.py:78-87, 249-263): each DeviceFarm worker pins an
+    InferenceEngine to its device and scores one checkpoint over the full
+    val set; a failed checkpoint yields None (skip-and-continue). Each
+    worker builds its own DataLoader, as the reference's per-replica
+    loaders do (utils/eval_server.py:84-86).
+    """
+
+    def work(device, _replica, path):
+        try:
+            loader = DataLoader(
+                DatasetCollector.get_dataset(cfg, cfg.DATASET.TEST_DATASET,
+                                             DatasetSubset.VAL),
+                batch_size=1,
+                shuffle=False,
+            )
+            _, _, rm_vars, tfn_vars = build_models(cfg, cfg.CONST.RNG_SEED)
+            rm_vars, tfn_vars, _ = load_weights_auto(path, rm_vars, tfn_vars)
+            engine = InferenceEngine(cfg, rm_vars, tfn_vars, device=device)
+            return test_net(cfg, -1, loader, None, engine)
+        except Exception as ex:  # bad checkpoint: score None, keep serving
+            logging.exception(ex)
+            return None
+
+    return DeviceFarm(work).map(paths)

@@ -29,14 +29,18 @@ class DeviceFarm:
     def __init__(
         self,
         work_fn: Callable[[Any, Any, Any], Any],
-        variables: Any,
+        variables: Any = None,
         devices: Optional[Sequence[Any]] = None,
     ):
         self.devices = list(devices if devices is not None else jax.devices())
         self.work_fn = work_fn
-        self.replicas = [
-            jax.device_put(variables, d) for d in self.devices
-        ]
+        # variables=None: work items carry their own weights (checkpoint
+        # farming, reference utils/eval_server.py:249-263) — the farm then
+        # only provides device scheduling
+        self.replicas = (
+            [None] * len(self.devices) if variables is None
+            else [jax.device_put(variables, d) for d in self.devices]
+        )
 
     def map(self, items: Sequence[Any]) -> List[Any]:
         """Evaluate items across devices; preserves input order."""
