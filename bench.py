@@ -101,16 +101,21 @@ def main():
         return outs
 
     run_once()  # compile + warm
-    # best of 3 measured passes: the host<->device link can stall for
-    # hundreds of ms at a time (downward outliers only), so the max is the
-    # honest steady-state capability of the chip pipeline
+    # 5 measured passes. The host<->device link can stall for hundreds of
+    # ms at a time (downward outliers only), so best-of-N reflects the
+    # chip pipeline's steady state; the median is reported alongside as
+    # the conservative estimator.
+    from rmnet_tpu.utils.profiling import trace_if
+
     fps_runs = []
-    for _ in range(3):
-        tic = time.perf_counter()
-        labels_out = run_once()
-        toc = time.perf_counter()
-        fps_runs.append((T - 1) / (toc - tic))
+    with trace_if():  # RMNET_TRACE_DIR=<dir> captures a profiler trace
+        for _ in range(5):
+            tic = time.perf_counter()
+            labels_out = run_once()
+            toc = time.perf_counter()
+            fps_runs.append((T - 1) / (toc - tic))
     fps = max(fps_runs)
+    fps_median = float(np.median(fps_runs))
     total = np.concatenate(labels_out, axis=0)
     # labels come back 4-bit packed (2 px/byte) when K <= 16
     assert total.shape in ((T - 1, H, W), (T - 1, H, W // 2))
@@ -119,9 +124,11 @@ def main():
     print(json.dumps({
         "metric": "480p streaming VOS inference (2 objects, memorize_every=5, "
                   f"{'bf16' if bf16 else 'f32'}, chunk={CHUNK})",
-        "value": round(fps, 3),
+        "value": round(fps_median, 3),
         "unit": "fps",
-        "vs_baseline": round(fps / 12.0, 3),
+        "vs_baseline": round(fps_median / 12.0, 3),
+        "best_of_5": round(fps, 3),
+        "runs": [round(f, 2) for f in fps_runs],
     }))
 
 

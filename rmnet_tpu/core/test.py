@@ -19,6 +19,7 @@ from rmnet_tpu.core.engine import InferenceEngine
 from rmnet_tpu.data import DataLoader, DatasetCollector, DatasetSubset
 from rmnet_tpu.utils.average_meter import AverageMeter
 from rmnet_tpu.utils.metrics import Metrics
+from rmnet_tpu.utils.profiling import trace_if
 from rmnet_tpu.utils.seg_viz import get_segmentation
 
 
@@ -50,6 +51,15 @@ def test_net(
     test_metrics = AverageMeter(Metrics.names())
     fps_meter = AverageMeter()
 
+    # RMNET_TRACE_DIR=<dir> wraps the eval loop in a jax.profiler trace
+    # (no-op otherwise) — the reference has no tracing at all (SURVEY §5)
+    with trace_if():
+        return _test_videos(cfg, epoch_idx, test_data_loader, test_writer,
+                            engine, n_videos, test_metrics, fps_meter)
+
+
+def _test_videos(cfg, epoch_idx, test_data_loader, test_writer, engine,
+                 n_videos, test_metrics, fps_meter) -> Metrics:
     for idx, (names, n_objects, frames, masks, flows) in enumerate(test_data_loader):
         # in-training validation only visits the selected subset
         # (reference core/test.py:71-72)

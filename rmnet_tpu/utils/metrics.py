@@ -128,8 +128,11 @@ class Metrics:
             for j in range(1, n_objects + 1):
                 jaccard.append(get_iou(pred_oh[j], gt_oh[j]))
                 f_scores.append(get_f_score(pred_oh[j], gt_oh[j]))
-        j_mean = float(np.nanmean(jaccard)) if jaccard else 0.0
-        f_mean = float(np.nanmean(f_scores)) if f_scores else 0.0
+        # plain mean, like the reference (utils/metrics.py:55-57): a NaN
+        # score PROPAGATES instead of being silently dropped, so a broken
+        # video surfaces in the summary rather than being masked
+        j_mean = float(np.mean(jaccard)) if jaccard else 0.0
+        f_mean = float(np.mean(f_scores)) if f_scores else 0.0
         return [j_mean, f_mean, (j_mean + f_mean) / 2.0]
 
     def __init__(self, metric_name: str, values):
