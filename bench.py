@@ -59,9 +59,11 @@ def main():
 
     staged = []
     t = 1
-    while t < T:
-        end = min(t + CHUNK, T)
-        n_pad = CHUNK - (end - t)
+    for size in engine._chunk_plan(T - 1):  # tapered tail hides the last download
+        if t >= T:
+            break
+        end = min(t + size, T)
+        n_pad = size - (end - t)
 
         def pad_tail(a):
             return np.concatenate([a, np.repeat(a[-1:], n_pad, 0)], 0) if n_pad else a
@@ -71,7 +73,7 @@ def main():
             jax.device_put(pad_tail(masks[t:end]).astype(np.float32)[:, None]),
             jax.device_put(pad_tail(any_new[t:end])),
             jax.device_put(pad_tail(commit[t - 1:end - 1])),
-            jax.device_put(np.arange(CHUNK) < (end - t)),
+            jax.device_put(np.arange(size) < (end - t)),
             end - t,
         ))
         t = end
@@ -100,6 +102,27 @@ def main():
         outs.append(np.asarray(pending[0])[: pending[1], 0])
         return outs
 
+    def run_device_only():
+        """Chip-side pipeline only: chained chunks, 1-element final sync.
+
+        The e2e number includes streaming every label map over the host
+        link — on this dev box an ~8 MB/s tunnel that is NOT representative
+        of real v5e host IO. device_fps is the chip + dispatch capability.
+        """
+        state = engine.apply.init_state(
+            jnp.asarray(frames[None, 0]),
+            jnp.asarray(masks[None, 0].astype(np.float32)),
+            capacity=engine.capacity,
+            dtype=dtype,
+        )
+        last = None
+        for f_c, g_c, new_c, com_c, valid_c, n_live in staged:
+            state, last = chunk_fn(
+                engine.rmnet_vars, state, f_c, g_c, new_c, com_c, valid_c, obj_valid
+            )
+        np.asarray(last.ravel()[:1])  # tunnel-safe device sync
+        return last
+
     run_once()  # compile + warm
     # 5 measured passes. The host<->device link can stall for hundreds of
     # ms at a time (downward outliers only), so best-of-N reflects the
@@ -116,9 +139,19 @@ def main():
             fps_runs.append((T - 1) / (toc - tic))
     fps = max(fps_runs)
     fps_median = float(np.median(fps_runs))
+
+    dev_runs = []
+    for _ in range(3):
+        tic = time.perf_counter()
+        run_device_only()
+        dev_runs.append((T - 1) / (time.perf_counter() - tic))
+    device_fps = max(dev_runs)
     total = np.concatenate(labels_out, axis=0)
-    # labels come back 4-bit packed (2 px/byte) when K <= 16
-    assert total.shape in ((T - 1, H, W), (T - 1, H, W // 2))
+    # labels come back packed: 5 px/byte (K<=3), 4 px/byte (K<=4), 2 (K<=16)
+    assert total.shape in (
+        (T - 1, H, W), (T - 1, H, W // 2), (T - 1, H, (W + 3) // 4),
+        (T - 1, H, (W + 4) // 5),
+    )
     assert total.dtype == np.uint8
 
     print(json.dumps({
@@ -129,6 +162,10 @@ def main():
         "vs_baseline": round(fps_median / 12.0, 3),
         "best_of_5": round(fps, 3),
         "runs": [round(f, 2) for f in fps_runs],
+        # chip+dispatch capability, label download excluded (the dev-box
+        # tunnel moves ~8 MB/s; real v5e host IO is GB/s)
+        "device_fps": round(device_fps, 3),
+        "device_runs": [round(f, 2) for f in dev_runs],
     }))
 
 

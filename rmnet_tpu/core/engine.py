@@ -72,6 +72,9 @@ class InferenceEngine:
             self.rmnet,
             memorize_every=self.memorize_every,
             skip_bg_warp=True,  # inference: slot 0 never reaches the bbox op
+            # bf16 serving: 1-gather u8-packed att-map warp (f32 eval keeps
+            # exact bilinear taps for golden-parity runs)
+            warp_u8=(dtype == jnp.bfloat16),
             **(apply_overrides or {}),
         )
         self._chunk_fns: Dict[Tuple, Any] = {}
@@ -83,10 +86,12 @@ class InferenceEngine:
         # once the bank is large (measured crossover ~16 slots on v5e:
         # S=25 -> 3.7 ms flash vs 5.3 ms XLA). Auto-select by capacity.
         import dataclasses
+        import os
 
         use_flash = self._use_flash_pref
         if use_flash is None:
-            use_flash = capacity + 1 >= 16
+            env = os.environ.get("RMNET_FLASH")  # A/B knob for perf work
+            use_flash = (env == "1") if env is not None else capacity + 1 >= 16
         use_flash = bool(use_flash) and jax.default_backend() != "cpu"
         return dataclasses.replace(self.apply, use_flash_attention=use_flash)
 
@@ -154,9 +159,24 @@ class InferenceEngine:
                     return new_state, est.astype(jnp.float32)
                 labels = jnp.argmax(est, axis=2).astype(jnp.uint8)  # (C, B, H, W)
                 K = est.shape[2]
-                if K <= 16 and labels.shape[-1] % 2 == 0:
-                    # pack 2 pixels/byte (lossless for K <= 16): halves the
-                    # device->host traffic for the label stream
+                # pack the label stream (lossless): the device->host link is
+                # the streaming bottleneck long before the chip is (a
+                # tunneled link moves ~8 MB/s; even PCIe gains from fewer
+                # bytes). base-3 5 px/byte for K<=3, 2 bits/px for K<=4,
+                # 4 bits/px for K<=16.
+                Wd = labels.shape[-1]
+                if K <= 3 and Wd >= 20:
+                    pad = (-Wd) % 5
+                    lp = jnp.pad(labels, ((0, 0), (0, 0), (0, 0), (0, pad)))
+                    labels = (lp[..., 0::5] + 3 * lp[..., 1::5]
+                              + 9 * lp[..., 2::5] + 27 * lp[..., 3::5]
+                              + 81 * lp[..., 4::5])
+                elif K <= 4 and Wd >= 20:
+                    pad = (-Wd) % 4
+                    lp = jnp.pad(labels, ((0, 0), (0, 0), (0, 0), (0, pad)))
+                    labels = (lp[..., 0::4] | (lp[..., 1::4] << 2)
+                              | (lp[..., 2::4] << 4) | (lp[..., 3::4] << 6))
+                elif K <= 16 and Wd % 2 == 0:
                     labels = labels[..., 0::2] | (labels[..., 1::2] << 4)
                 return new_state, labels
 
@@ -196,6 +216,55 @@ class InferenceEngine:
             flows[1 + start : 1 + end] = out[: end - start]
         return flows
 
+    @staticmethod
+    def _unpack_labels(est_np: np.ndarray, W: int) -> np.ndarray:
+        """Invert the on-device trit/2-bit/4-bit label packing to (.., H, W)."""
+        if est_np.shape[-1] == W:
+            return est_np
+        if est_np.shape[-1] == (W + 4) // 5:  # base-3, K <= 3
+            n, b, h, wp = est_np.shape
+            lab = np.empty((n, b, h, wp * 5), np.uint8)
+            v = est_np
+            for i in range(5):
+                lab[..., i::5] = v % 3
+                v = v // 3
+            return lab[..., :W]
+        if est_np.shape[-1] == (W + 3) // 4:  # 2-bit, K <= 4
+            n, b, h, wp = est_np.shape
+            lab = np.empty((n, b, h, wp * 4), np.uint8)
+            lab[..., 0::4] = est_np & 0x03
+            lab[..., 1::4] = (est_np >> 2) & 0x03
+            lab[..., 2::4] = (est_np >> 4) & 0x03
+            lab[..., 3::4] = est_np >> 6
+            return lab[..., :W]
+        n, b, h, wp = est_np.shape  # 4-bit, K <= 16
+        lab = np.empty((n, b, h, wp * 2), np.uint8)
+        lab[..., 0::2] = est_np & 0x0F
+        lab[..., 1::2] = est_np >> 4
+        return lab[..., :W]
+
+    def _chunk_plan(self, n_steps: int):
+        """Chunk sizes for a video: full chunks, then a tapered tail.
+
+        The LAST chunk's label download cannot overlap any compute, so a
+        full-size final chunk exposes its whole transfer (~170 ms for 16
+        480p frames over a ~10 MB/s link). Tapering the tail to C/4-sized
+        chunks cuts that exposure 4x for one extra compiled size.
+        """
+        C = self.chunk
+        small = max(1, C // 4)
+        plan = []
+        left = n_steps
+        while left > C:
+            plan.append(C)
+            left -= C
+        if left == n_steps and left <= C:
+            return [C]  # short video: one (padded) chunk, nothing to hide
+        while left > 0:
+            plan.append(small)
+            left -= small
+        return plan
+
     def _video_flags(self, n_objects: np.ndarray, T: int):
         any_new = np.zeros((T,), bool)
         any_new[1:] = n_objects[1:] != n_objects[:-1]
@@ -212,7 +281,6 @@ class InferenceEngine:
         return_probs: bool,
     ):
         T, K, H, W = masks.shape
-        C = self.chunk
         n_max = int(np.max(n_objects))
         obj_valid = jnp.asarray(
             ((np.arange(K) >= 1) & (np.arange(K) <= n_max))[None]
@@ -243,24 +311,22 @@ class InferenceEngine:
         def materialize(pending):
             est, p_t, p_end = pending
             est_np = np.asarray(est)
-            if not return_probs and est_np.shape[-1] != W:  # unpack 4-bit labels
-                n, _, Hh, Wp = est_np.shape
-                lab = np.empty((n, 1, Hh, Wp * 2), np.uint8)
-                lab[..., 0::2] = est_np & 0x0F
-                lab[..., 1::2] = est_np >> 4
-                est_np = lab
+            if not return_probs:
+                est_np = self._unpack_labels(est_np, W)
             out[p_t:p_end] = est_np[: p_end - p_t, 0]
 
         pending = None
         t = 1
-        while t < T:
-            end = min(t + C, T)
-            n_pad = C - (end - t)
+        for size in self._chunk_plan(T - 1):
+            if t >= T:
+                break
+            end = min(t + size, T)
+            n_pad = size - (end - t)
             f_c = pad_tail(frames[t:end].astype(np.float32), n_pad)[:, None]
             g_c = pad_tail(masks[t:end], n_pad)[:, None]
             new_c = pad_tail(any_new[t:end], n_pad)
             com_c = pad_tail(commit[t - 1 : end - 1], n_pad)
-            valid_c = np.arange(C) < (end - t)
+            valid_c = np.arange(size) < (end - t)
             args = [
                 self.rmnet_vars, state,
                 jnp.asarray(f_c), jnp.asarray(g_c), jnp.asarray(new_c),
@@ -315,7 +381,6 @@ class InferenceEngine:
         of float frames + one-hot masks). Returns (T, H, W) uint8 labels."""
         T, H, W, _ = frames_u8.shape
         K = n_slots or (int(np.max(n_objects)) + 1)
-        C = self.chunk
         n_max = int(np.max(n_objects))
         obj_valid = jnp.asarray(((np.arange(K) >= 1) & (np.arange(K) <= n_max))[None])
         any_new, commit = self._video_flags(n_objects, T)
@@ -342,27 +407,23 @@ class InferenceEngine:
 
         def materialize(pending):
             est, p_t, p_end = pending
-            est_np = np.asarray(est)
-            if est_np.shape[-1] != W:  # unpack 4-bit labels
-                n, _, Hh, Wp = est_np.shape
-                lab = np.empty((n, 1, Hh, Wp * 2), np.uint8)
-                lab[..., 0::2] = est_np & 0x0F
-                lab[..., 1::2] = est_np >> 4
-                est_np = lab
+            est_np = self._unpack_labels(np.asarray(est), W)
             out[p_t:p_end] = est_np[: p_end - p_t, 0]
 
         pending = None
         t = 1
-        while t < T:
-            end = min(t + C, T)
-            n_pad = C - (end - t)
+        for size in self._chunk_plan(T - 1):
+            if t >= T:
+                break
+            end = min(t + size, T)
+            n_pad = size - (end - t)
             state, est = chunk_fn(
                 self.rmnet_vars, state,
                 jnp.asarray(pad_tail(frames_u8[t:end], n_pad)[:, None]),
                 jnp.asarray(pad_tail(gt_labels[t:end], n_pad)[:, None]),
                 jnp.asarray(pad_tail(any_new[t:end], n_pad)),
                 jnp.asarray(pad_tail(commit[t - 1 : end - 1], n_pad)),
-                jnp.asarray(np.arange(C) < (end - t)),
+                jnp.asarray(np.arange(size) < (end - t)),
                 obj_valid,
             )
             try:

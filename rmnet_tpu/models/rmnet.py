@@ -47,6 +47,7 @@ from rmnet_tpu.ops import (
     soft_aggregation,
     backward_warp,
 )
+from rmnet_tpu.ops.warp import backward_warp_quantized
 from rmnet_tpu.ops.pad import divide_pads
 
 NEW_OBJECT_SCALE = 32.0605
@@ -123,21 +124,34 @@ class EncoderMemory(nn.Module):
         return r4
 
     def shared(self, f, m_bk, o_bk, train_bn: bool = False):
-        """Per-object encode with the RGB conv1 stem computed ONCE per frame.
+        """Per-object encode with the three 7x7 stems MERGED into one conv.
 
         f: (B, H, W, 3); m_bk, o_bk: (B*Ko, H, W) per-object batches (object
-        folded into batch, B-major). Exactly ``__call__`` on the broadcast
-        frame — conv1 is linear and object-independent, only the mask/other
-        stems differ per object (reference models/rmnet.py:73-75).
+        folded into batch, B-major). ``conv1(f) + conv1_m(m) + conv1_o(o)``
+        is one 5-channel conv with the kernels concatenated on the input
+        axis — exactly the reference's summed stems (models/rmnet.py:73-75).
+        Small-input-channel 7x7/s2 convs are latency-bound on TPU (~1.3 ms
+        each at 480p regardless of C, round-2 micro-bench), so one 5-channel
+        conv replaces three convs at a third of the wall time even though it
+        recomputes the RGB term per object.
         """
         B = f.shape[0]
         Ko = m_bk.shape[0] // B
-        c1 = self.trunk.conv1(f)  # (B, H/2, W/2, 64)
-        c1 = jnp.broadcast_to(c1[:, None], (B, Ko) + c1.shape[1:]).reshape(
-            (B * Ko,) + c1.shape[1:]
+        f_bk = jnp.broadcast_to(f[:, None], (B, Ko) + f.shape[1:]).reshape(
+            (B * Ko,) + f.shape[1:]
         )
-        extra = self.conv1_m(m_bk[..., None]) + self.conv1_o(o_bk[..., None])
-        r4, _, _, _ = self.trunk(None, train_bn=train_bn, conv1_out=c1 + extra)
+        x5 = jnp.concatenate([f_bk, m_bk[..., None], o_bk[..., None]], axis=-1)
+        wf = self.trunk.conv1.variables["params"]["weight"]
+        wm = self.conv1_m.variables["params"]["weight"]
+        wo = self.conv1_o.variables["params"]["weight"]
+        w5 = jnp.concatenate([wf, wm, wo], axis=2)  # (7, 7, 5, 64) HWIO
+        dt = self.trunk.conv1.dtype or x5.dtype
+        c1 = jax.lax.conv_general_dilated(
+            x5.astype(dt), w5.astype(dt),
+            window_strides=(2, 2), padding=[(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        r4, _, _, _ = self.trunk(None, train_bn=train_bn, conv1_out=c1)
         return r4
 
 
@@ -375,6 +389,10 @@ class RMNetApply:
     # gradient only cancels through the est-mask softmax when every channel
     # receives it (see get_att_map / tests/test_grad_semantics.py).
     skip_bg_warp: bool = False
+    # serving-only: 1-gather u8-packed warp for the att-map (<=1/510 mask
+    # quantization; the warped mask feeds only the 0.5-threshold bbox op).
+    # Enabled by the engine for bf16 serving; f32 eval keeps exact taps.
+    warp_u8: bool = False
     # rematerialize per scan step (training): keeps only the carry between
     # frames and recomputes within-step activations in the backward pass
     remat: bool = False
@@ -491,18 +509,19 @@ class RMNetApply:
         drops the background channel from the warp gather at inference —
         slot 0 never reaches the bbox generator, so the output is unchanged.
         """
+        warp_fn = backward_warp_quantized if self.warp_u8 else backward_warp
         if flow is None:
             expt = prev_mask
         elif self.skip_bg_warp:
             m_img = prev_mask[:, 1:].transpose(0, 2, 3, 1)  # (B, H, W, K-1)
-            warped, _ = backward_warp(m_img, flow)
+            warped, _ = warp_fn(m_img, flow)
             expt = jnp.concatenate(
                 [jnp.zeros_like(prev_mask[:, :1]), warped.transpose(0, 3, 1, 2)], axis=1
             )
         else:
             # training: warp ALL K channels (straight-through grad invariant)
             m_img = prev_mask.transpose(0, 2, 3, 1)
-            warped, _ = backward_warp(m_img, flow)
+            warped, _ = warp_fn(m_img, flow)
             expt = warped.transpose(0, 3, 1, 2)
         att_small, _ = regional_attention_small(
             expt, out_hw, offset, 16,

@@ -13,6 +13,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -91,19 +92,56 @@ class ConvTranspose2d(nn.Module):
         # weight[i, o, ::-1, ::-1].transpose(2, 3, 0, 1).
         weight = self.param("weight", self.kernel_init, (kh, kw, cin, self.features))
         dtype = self.dtype or x.dtype
-        pad_h = kh - 1 - self.padding[0]
-        pad_w = kw - 1 - self.padding[1]
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            weight.astype(dtype),
-            window_strides=(1, 1),
-            padding=[(pad_h, pad_h), (pad_w, pad_w)],
-            lhs_dilation=self.stride,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.kernel_size == (4, 4) and self.stride == (2, 2) and self.padding == (1, 1):
+            # subpixel lowering for the common 4x4/s2/p1 deconv: input-dilated
+            # convs are slow on TPU (Mosaic handles lhs_dilation poorly); the
+            # same math is one stride-1 3x3 conv producing 4 phase outputs +
+            # a space-interleave. Phase kernel K3[t, p] = W[2t - p] per axis.
+            y = self._subpixel_2x(x.astype(dtype), weight.astype(dtype))
+        else:
+            pad_h = kh - 1 - self.padding[0]
+            pad_w = kw - 1 - self.padding[1]
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                weight.astype(dtype),
+                window_strides=(1, 1),
+                padding=[(pad_h, pad_h), (pad_w, pad_w)],
+                lhs_dilation=self.stride,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
             y = y + bias.astype(dtype)
+        return y
+
+    def _subpixel_2x(self, x, w):
+        """4x4/s2/p1 transposed conv as a 3x3 conv + 2x2 phase interleave.
+
+        1-D derivation with the stored (pre-flipped) kernel W: the dilated
+        form gives out[2i + p] = sum_t K3[t, p] * x[i - 1 + t] with
+        K3[t, p] = W[2t - p] (zero outside [0, 4)) — i.e. per output phase
+        p a 3-tap stride-1 conv. In 2-D the four (py, px) phases share one
+        3x3 conv with 4*Cout output channels, interleaved back to
+        (2H, 2W, Cout). Bit-identical taps, no lhs_dilation.
+        """
+        B, H, W_in, cin = x.shape
+        cout = w.shape[-1]
+        # constant-index gather of the phase taps (W[2t - p] per axis, zero
+        # outside [0, 4) via a 1-ring zero pad)
+        wp = jnp.pad(w, ((1, 1), (1, 1), (0, 0), (0, 0)))  # (6, 6, cin, cout)
+        t = np.arange(3)
+        p = np.arange(2)
+        iy = 2 * t[:, None] - p[None, :] + 1  # (3, 2) in [0, 6)
+        k3 = wp[iy[:, None, :, None], iy[None, :, None, :]]  # (3,3,2,2,cin,cout)
+        k3 = k3.transpose(0, 1, 4, 2, 3, 5).reshape(3, 3, cin, 4 * cout)
+        y = jax.lax.conv_general_dilated(
+            x, k3,
+            window_strides=(1, 1),
+            padding=[(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # (B, H, W, 2*2*cout)
+        y = y.reshape(B, H, W_in, 2, 2, cout)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W_in, cout)
         return y
 
 

@@ -41,13 +41,24 @@ def _bboxes(
 ) -> jnp.ndarray:
     """(B, K, 4) int32 dilated bboxes (x_min, x_max, y_min, y_max)."""
     B, K, H, W = mask.shape
-    hit = mask >= prob_threshold  # (B, K, H, W)
-    n_pts = jnp.sum(hit, axis=(2, 3), dtype=jnp.int32)  # (B, K)
+    # Threshold to 0/1 floats and reduce via MXU contractions: boolean
+    # any-reduces over the full-res (B, K, H, W) map relayout to 8-bit
+    # tiles and cost ~4 ms/frame at 480p on v5e (round-2 bisection,
+    # tools/perf_bisect.py); a f32 ones-contraction is two fast matmuls.
+    hf = (mask >= prob_threshold).astype(jnp.float32)  # (B, K, H, W)
+    ones_h = jnp.ones((H,), jnp.float32)
+    ones_w = jnp.ones((W,), jnp.float32)
+    col = jnp.einsum("bkhw,h->bkw", hf, ones_h,
+                     preferred_element_type=jnp.float32)  # hits per column
+    row = jnp.einsum("bkhw,w->bkh", hf, ones_w,
+                     preferred_element_type=jnp.float32)  # hits per row
+    n_pts = jnp.einsum("bkw,w->bk", col, ones_w,
+                       preferred_element_type=jnp.float32).astype(jnp.int32)
 
-    # project to 1-D occupancy first (cheap any-reduce), then take min/max
-    # over tiny H-/W-length vectors — avoids full-size iota broadcasts
-    hit_x = jnp.any(hit, axis=2)  # (B, K, W)
-    hit_y = jnp.any(hit, axis=3)  # (B, K, H)
+    # project to 1-D occupancy, then take min/max over tiny H-/W-length
+    # vectors — avoids full-size iota broadcasts
+    hit_x = col > 0  # (B, K, W)
+    hit_y = row > 0  # (B, K, H)
     xs = jax.lax.broadcasted_iota(jnp.int32, (1, 1, W), 2)
     ys = jax.lax.broadcasted_iota(jnp.int32, (1, 1, H), 2)
 

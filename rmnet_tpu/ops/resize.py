@@ -61,6 +61,13 @@ def _interp_axis(x: jnp.ndarray, axis: int, out_size: int, align_corners: bool):
     in_size = x.shape[axis]
     if in_size == out_size:
         return x
+    if not align_corners and in_size == 2 * out_size:
+        # exact 2x downsample: src = 2d + 0.5 -> taps (2d, 2d+1) with
+        # weights (0.5, 0.5) for every d — a pairwise mean along the axis
+        # (reshape + reduce: no transpose, no matmul; the generic matmul
+        # path costs a physical moveaxis both ways)
+        shape = x.shape[:axis] + (out_size, 2) + x.shape[axis + 1:]
+        return jnp.mean(x.reshape(shape), axis=axis + 1)
     m = _interp_matrix(in_size, out_size, align_corners)
     xm = jnp.moveaxis(x, axis, -1)
     out = jnp.einsum("oi,...i->...o", m, xm, preferred_element_type=jnp.float32)

@@ -120,6 +120,93 @@ def _grid_sample_packed_bf16(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -
     return out.astype(img.dtype)
 
 
+def _grid_sample_packed_u8(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """1-gather bilinear sampling for probability images (values in [0, 1]).
+
+    Quantizes to u8 (1/255 steps) and packs each 2x2 patch into one uint32
+    lane, so a SINGLE flat gather returns all four bilinear taps (the
+    bf16-pair scheme needs two). Built for the serving att-map path: the
+    warped mask only feeds the 0.5-threshold bbox generator and the
+    0.9999-threshold validity test, so the <=1/510 quantization error is
+    inert except for pixels already knife-edge at a threshold. Weights and
+    accumulation are float32.
+    """
+    B, H, W, C = img.shape
+    q = jnp.round(jnp.clip(img.astype(jnp.float32), 0.0, 1.0) * 255.0).astype(jnp.uint32)
+    zx = jnp.zeros_like(q[:, :, :1])
+    right = jnp.concatenate([q[:, :, 1:], zx], axis=2)
+    zy = jnp.zeros_like(q[:, :1])
+    down = jnp.concatenate([q[:, 1:], zy], axis=1)
+    diag = jnp.concatenate([right[:, 1:], jnp.zeros_like(right[:, :1])], axis=1)
+    packed = q | (right << 8) | (down << 16) | (diag << 24)  # (B, H, W, C) u32
+    flat = packed.reshape(B, H * W, C)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    xc = jnp.clip(x0, 0, W - 2).astype(jnp.int32)
+    yc = jnp.clip(y0, 0, H - 2).astype(jnp.int32)
+    idx = yc * W + xc
+    vals = jnp.take_along_axis(flat, idx.reshape(B, H * W, 1).astype(jnp.int32), axis=1)
+    vals = vals.reshape(B, H, W, C)
+    p00 = (vals & 0xFF).astype(jnp.float32)
+    p01 = ((vals >> 8) & 0xFF).astype(jnp.float32)
+    p10 = ((vals >> 16) & 0xFF).astype(jnp.float32)
+    p11 = (vals >> 24).astype(jnp.float32)
+
+    # gathered patch sits at (yc, xc); select the true tap per lane
+    sx = ((x0 >= 0) & (x0 <= W - 2))[..., None]   # x0 == xc
+    sy = ((y0 >= 0) & (y0 <= H - 2))[..., None]   # y0 == yc
+    vx0 = ((x0 >= 0) & (x0 <= W - 1))[..., None]
+    vx1 = ((x0 >= -1) & (x0 <= W - 2))[..., None]
+    vy0 = ((y0 >= 0) & (y0 <= H - 1))[..., None]
+    vy1 = ((y0 >= -1) & (y0 <= H - 2))[..., None]
+
+    def pick(a, b, c, d):  # sy ? (sx ? a : b) : (sx ? c : d)
+        return jnp.where(sy, jnp.where(sx, a, b), jnp.where(sx, c, d))
+
+    t00 = pick(p00, p01, p10, p11) * (vy0 & vx0)
+    t01 = pick(p01, p00, p11, p10) * (vy0 & vx1)
+    t10 = pick(p10, p11, p00, p01) * (vy1 & vx0)
+    t11 = pick(p11, p10, p01, p00) * (vy1 & vx1)
+
+    out = (
+        t00 * (wy0 * wx0)[..., None]
+        + t01 * (wy0 * wx1)[..., None]
+        + t10 * (wy1 * wx0)[..., None]
+        + t11 * (wy1 * wx1)[..., None]
+    ) * (1.0 / 255.0)
+    return out.astype(img.dtype)
+
+
+def backward_warp_quantized(
+    img: jnp.ndarray, flow: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``backward_warp`` via the 1-gather u8-packed sampler (serving path;
+    inputs must be probabilities in [0, 1])."""
+    squeeze = img.ndim == 3
+    if squeeze:
+        img = img[..., None]
+    B, H, W, C = img.shape
+    flow32 = flow.astype(jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    x = xs + flow32[..., 0]
+    y = ys + flow32[..., 1]
+    warped = _grid_sample_packed_u8(img, x, y)
+    ones = _axis_coverage(y, H) * _axis_coverage(x, W)
+    mask = (ones >= 0.9999).astype(img.dtype)[..., None]
+    mask = jnp.broadcast_to(mask, warped.shape)
+    warped = warped * mask
+    if squeeze:
+        return warped[..., 0], mask[..., 0]
+    return warped, mask
+
+
 def backward_warp(
     img: jnp.ndarray, flow: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -129,6 +129,30 @@ def test_packed_bf16_warp_matches_generic():
     )
 
 
+def test_packed_u8_warp_close_to_exact():
+    """1-gather u8-packed warp: within quantization error of the exact
+    sampler, and bit-exact at integer coordinates on u8-representable
+    values."""
+    from rmnet_tpu.ops.warp import backward_warp_quantized
+
+    rs = np.random.RandomState(8)
+    B, H, W, C = 2, 37, 53, 2
+    img = rs.rand(B, H, W, C).astype(np.float32)
+    flow = ((rs.rand(B, H, W, 2) - 0.5) * 9).astype(np.float32)
+    exact, m_exact = backward_warp(jnp.asarray(img), jnp.asarray(flow))
+    quant, m_quant = backward_warp_quantized(jnp.asarray(img), jnp.asarray(flow))
+    np.testing.assert_array_equal(np.asarray(m_quant), np.asarray(m_exact))
+    np.testing.assert_allclose(
+        np.asarray(quant), np.asarray(exact), rtol=0, atol=1.01 / 510
+    )
+    # identity warp on u8-grid values reproduces the image exactly
+    img_u8 = np.round(img * 255) / 255
+    ident, _ = backward_warp_quantized(
+        jnp.asarray(img_u8.astype(np.float32)), jnp.zeros((B, H, W, 2), jnp.float32)
+    )
+    np.testing.assert_allclose(np.asarray(ident), img_u8, rtol=0, atol=1e-6)
+
+
 def test_backward_warp_bf16_close_to_f32():
     rs = np.random.RandomState(5)
     B, H, W, C = 1, 48, 80, 2
