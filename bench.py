@@ -32,7 +32,7 @@ def main():
     T = int(os.environ.get("BENCH_FRAMES", "48"))
     H, W = 480, 854
     K = int(os.environ.get("BENCH_OBJECTS", "2")) + 1  # slots incl. background
-    CHUNK = int(os.environ.get("BENCH_CHUNK", "8"))
+    CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))  # measured optimum (docs/PERFORMANCE.md)
 
     cfg = Config()
     cfg.TEST.MEMORY_CAPACITY = max(T // cfg.TEST.MEMORIZE_EVERY + 2, 4)
