@@ -78,13 +78,21 @@ def main():
         ))
         t = end
 
+    # first frame + mask staged to HBM like every other input (uploading
+    # 6 MB of f32 through the tunnel costs ~215 ms per pass otherwise).
+    # frame0 passes into the DONATED state unchanged, so each pass works on
+    # a device-side copy of the staged buffer.
+    f0 = jax.device_put(frames[None, 0])
+    m0 = jax.device_put(masks[None, 0].astype(np.float32))
+    _copy = jax.jit(lambda a: a + 0)
+
+    def _fresh_state():
+        # copy m0 too: its astype is a no-op (alias) on the --f32 path
+        return engine.apply.init_state(_copy(f0), _copy(m0),
+                                       capacity=engine.capacity, dtype=dtype)
+
     def run_once():
-        state = engine.apply.init_state(
-            jnp.asarray(frames[None, 0]),
-            jnp.asarray(masks[None, 0].astype(np.float32)),
-            capacity=engine.capacity,
-            dtype=dtype,
-        )
+        state = _fresh_state()
         outs = []
         pending = None
         for f_c, g_c, new_c, com_c, valid_c, n_live in staged:
@@ -109,12 +117,7 @@ def main():
         link — on this dev box an ~8 MB/s tunnel that is NOT representative
         of real v5e host IO. device_fps is the chip + dispatch capability.
         """
-        state = engine.apply.init_state(
-            jnp.asarray(frames[None, 0]),
-            jnp.asarray(masks[None, 0].astype(np.float32)),
-            capacity=engine.capacity,
-            dtype=dtype,
-        )
+        state = _fresh_state()
         last = None
         for f_c, g_c, new_c, com_c, valid_c, n_live in staged:
             state, last = chunk_fn(
