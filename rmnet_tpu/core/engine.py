@@ -81,17 +81,18 @@ class InferenceEngine:
         self._flow_fn = None
 
     def _apply_for(self, capacity: int) -> RMNetApply:
-        # The dense XLA memory read wins at small bank sizes (one MXU matmul);
-        # the fused Pallas kernel avoids the O(M*Q) affinity in HBM and wins
-        # once the bank is large (measured crossover ~16 slots on v5e:
-        # S=25 -> 3.7 ms flash vs 5.3 ms XLA). Auto-select by capacity.
+        # Memory-read backend. The fused Pallas kernel beats dense XLA at
+        # runtime once the bank is large (S=24: 2.0 ms flash vs ~3.4 dense)
+        # BUT costs ~340 s of Mosaic compile PER bank-size bucket on this
+        # toolchain — that amortizes only for long-running serving, never
+        # for an eval sweep. OPT-IN only (use_flash_attention=True or
+        # RMNET_FLASH=1); default is the dense MXU read.
         import dataclasses
         import os
 
         use_flash = self._use_flash_pref
         if use_flash is None:
-            env = os.environ.get("RMNET_FLASH")  # A/B knob for perf work
-            use_flash = (env == "1") if env is not None else capacity + 1 >= 16
+            use_flash = os.environ.get("RMNET_FLASH") == "1"
         use_flash = bool(use_flash) and jax.default_backend() != "cpu"
         return dataclasses.replace(self.apply, use_flash_attention=use_flash)
 

@@ -97,66 +97,32 @@ if __name__ == "__main__":
     main()
 
 
-def conv_variants():
-    """Direct A/B of the 7x7/s2 stem lowerings at the real shapes."""
+def flash_probe():
+    """Compile-time + run-time probe of the Pallas flash read at large S
+    (auto-capacity engages it for long videos; a pathological compile here
+    would stall real evals)."""
+    import time
     import jax
     import jax.numpy as jnp
-    from rmnet_tpu.nn.layers import _conv7s2_space_to_depth
+    from rmnet_tpu.ops.flash_attention import memory_read_flash
 
     rs = np.random.RandomState(0)
-
-    def old_conv(x, w):
-        return jax.lax.conv_general_dilated(
-            x, w, (2, 2), [(3, 3), (3, 3)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-    for C, B in ((1, 2), (3, 2), (3, 1), (5, 2)):
-        x = jnp.asarray(rs.rand(B, 480, 864, C).astype(np.float32)).astype(jnp.bfloat16)
-        w = jnp.asarray(rs.rand(7, 7, C, 64).astype(np.float32)).astype(jnp.bfloat16)
-        timed(f"conv7s2 old  B={B} C={C}", lambda xx: old_conv(xx, w), x, n=30)
-        timed(f"conv7s2 s2d  B={B} C={C}", lambda xx: _conv7s2_space_to_depth(xx, w), x, n=30)
-
-
-if __name__ == "__main__" and "conv" in sys.argv:
-    conv_variants()
-
-
-def conv_im2col_variants():
-    """7x7/s2 conv as 49 strided slices + one MXU matmul."""
-    import jax
-    import jax.numpy as jnp
-
-    rs = np.random.RandomState(0)
-
-    def im2col_conv(x, w):
-        B, H, W, C = x.shape
-        O = w.shape[-1]
-        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
-        cols = [
-            xp[:, dy:dy + H:2, dx:dx + W:2, :]
-            for dy in range(7) for dx in range(7)
-        ]
-        patches = jnp.concatenate(cols, axis=-1)  # (B, H/2, W/2, 49*C)
-        wm = w.reshape(49 * w.shape[2], O)  # (ky,kx,C) flattened -> rows
-        # NOTE: cols order (dy, dx) pairs with w.reshape's (ky, kx, C)
-        # flattening only if each col keeps C minor — it does.
-        return jnp.einsum("bhwp,po->bhwo", patches, wm,
-                          preferred_element_type=jnp.float32).astype(x.dtype)
-
-    def old_conv(x, w):
-        return jax.lax.conv_general_dilated(
-            x, w, (2, 2), [(3, 3), (3, 3)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-
-    for C, B in ((3, 1), (5, 2), (6, 1)):
-        x = jnp.asarray(rs.rand(B, 480, 864, C).astype(np.float32)).astype(jnp.bfloat16)
-        w = jnp.asarray(rs.rand(7, 7, C, 64).astype(np.float32)).astype(jnp.bfloat16)
-        r_old = old_conv(x, w)
-        r_new = im2col_conv(x, w)
-        err = float(jnp.abs(r_old.astype(jnp.float32) - r_new.astype(jnp.float32)).max())
-        print(f"im2col err C={C}: {err}", flush=True)
-        timed(f"conv7s2 im2col B={B} C={C}", lambda xx: im2col_conv(xx, w), x, n=30)
+    for S in (24, 40):
+        mk = jnp.asarray(rs.rand(2, S, 30, 54, 128).astype(np.float32)).astype(jnp.bfloat16)
+        mv = jnp.asarray(rs.rand(2, S, 30, 54, 512).astype(np.float32)).astype(jnp.bfloat16)
+        qk = jnp.asarray(rs.rand(2, 30, 54, 128).astype(np.float32)).astype(jnp.bfloat16)
+        qv = jnp.asarray(rs.rand(2, 30, 54, 512).astype(np.float32)).astype(jnp.bfloat16)
+        sv = jnp.ones((2, S), bool)
+        fn = jax.jit(lambda a: memory_read_flash(a, mv, qk, qv, sv)[0])
+        t0 = time.time()
+        out = fn(mk)
+        np.asarray(out.ravel()[:1])
+        compile_s = time.time() - t0
+        print(f"flash S={S}: compile+first {compile_s:.1f} s", flush=True)
+        timed(f"flash read S={S}", lambda a: memory_read_flash(a, mv, qk, qv, sv)[0], mk, n=30)
+        from rmnet_tpu.models.rmnet import memory_read
+        timed(f"dense read S={S}", lambda a: memory_read(a, mv, qk, qv, sv)[0], mk, n=30)
 
 
-if __name__ == "__main__" and "im2col" in sys.argv:
-    conv_im2col_variants()
+if __name__ == "__main__" and "flash" in sys.argv:
+    flash_probe()
