@@ -80,7 +80,7 @@ class InferenceEngine:
         self._chunk_fns: Dict[Tuple, Any] = {}
         self._flow_fn = None
 
-    def _apply_for(self, capacity: int) -> RMNetApply:
+    def _apply_for(self) -> RMNetApply:
         # Memory-read backend. The fused Pallas kernel beats dense XLA at
         # runtime once the bank is large (S=24: 2.0 ms flash vs ~3.4 dense)
         # BUT costs ~340 s of Mosaic compile PER bank-size bucket on this
@@ -120,10 +120,12 @@ class InferenceEngine:
     def _get_chunk_fn(self, use_tfn_flow: bool, return_probs: bool,
                       raw_inputs: bool = False, n_slots: int = 0,
                       capacity: Optional[int] = None):
-        apply = self._apply_for(capacity if capacity is not None
-                                else (self.capacity or 16))
-        key = (use_tfn_flow, return_probs, raw_inputs, n_slots,
-               apply.use_flash_attention)
+        del capacity  # bank size no longer selects the read backend
+        apply = self._apply_for()
+        # the apply config itself is part of the key, so mutating
+        # engine.apply between runs (e.g. dataclasses.replace overrides)
+        # cannot hit a stale cached closure
+        key = (use_tfn_flow, return_probs, raw_inputs, n_slots, apply)
         if key not in self._chunk_fns:
             tfn = self.tflownet
             tfn_vars = self.tfn_vars

@@ -122,14 +122,14 @@ def evaluate_checkpoints_farm(cfg, paths):
     loaders do (utils/eval_server.py:84-86).
     """
 
+    # dataset parsed once; each worker gets its own LIGHT loader over it
+    # (the reference builds one loader per replica, utils/eval_server.py:84-86)
+    dataset = DatasetCollector.get_dataset(cfg, cfg.DATASET.TEST_DATASET,
+                                           DatasetSubset.VAL)
+
     def work(device, _replica, path):
         try:
-            loader = DataLoader(
-                DatasetCollector.get_dataset(cfg, cfg.DATASET.TEST_DATASET,
-                                             DatasetSubset.VAL),
-                batch_size=1,
-                shuffle=False,
-            )
+            loader = DataLoader(dataset, batch_size=1, shuffle=False)
             _, _, rm_vars, tfn_vars = build_models(cfg, cfg.CONST.RNG_SEED)
             rm_vars, tfn_vars, _ = load_weights_auto(path, rm_vars, tfn_vars)
             engine = InferenceEngine(cfg, rm_vars, tfn_vars, device=device)

@@ -47,7 +47,7 @@ from rmnet_tpu.ops import (
     soft_aggregation,
     backward_warp,
 )
-from rmnet_tpu.ops.warp import backward_warp_quantized
+from rmnet_tpu.ops.warp import backward_warp_fast, backward_warp_quantized
 from rmnet_tpu.ops.pad import divide_pads
 
 NEW_OBJECT_SCALE = 32.0605
@@ -509,7 +509,15 @@ class RMNetApply:
         drops the background channel from the warp gather at inference —
         slot 0 never reaches the bbox generator, so the output is unchanged.
         """
-        warp_fn = backward_warp_quantized if self.warp_u8 else backward_warp
+        # the packed fast warps are forward-only (bitcast kills the
+        # cotangent) and gated behind the inference-only flags; the
+        # training branch MUST keep the differentiable generic warp
+        if self.warp_u8:
+            warp_fn = backward_warp_quantized
+        elif self.skip_bg_warp:
+            warp_fn = backward_warp_fast
+        else:
+            warp_fn = backward_warp
         if flow is None:
             expt = prev_mask
         elif self.skip_bg_warp:
@@ -539,8 +547,8 @@ class RMNetApply:
         mem_values: jnp.ndarray, # (B, K, S, h, w, Cv)
         slot_valid: jnp.ndarray, # (S,) or (B, K, S) bool
         obj_valid: jnp.ndarray,  # (B, K) bool
-    ) -> jnp.ndarray:
-        """One segmentation pass -> (B, K, H, W) logits
+    ) -> Tuple[jnp.ndarray, Optional[Dict[str, Any]]]:
+        """One segmentation pass -> ((B, K, H, W) logits, batch_stats|None)
         (reference models/rmnet.py:304-383). ``att_small`` is the /16-grid
         regional map (get_att_small), matching the reference's full-res map
         after its F.interpolate(scale_factor=1/16) downsample."""
@@ -611,7 +619,7 @@ class RMNetApply:
         any_new: jnp.ndarray,      # () bool — new objects revealed at t
         commit: jnp.ndarray,       # () bool — commit frame t-1 to the bank
         obj_valid: jnp.ndarray,    # (B, K) bool — video-level object slots
-    ) -> Tuple[VOSState, jnp.ndarray]:
+    ) -> Tuple[VOSState, jnp.ndarray, Optional[Dict[str, Any]]]:
         """One timestep of the reference loop (models/rmnet.py:410-450).
 
         Returns (new_state, est_mask_t, batch_stats): est_mask_t = softmax

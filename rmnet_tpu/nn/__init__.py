@@ -10,8 +10,10 @@ transposed-conv geometry replicate torch exactly:
   BatchNorm     — frozen (running stats) by default, matching the reference
                   training mode where both nets stay in eval() mode
                   (core/train.py:138-143, USE_BATCH_NORM=False). Trainable
-                  batch-stats mode is available for USE_BATCH_NORM=True, with
-                  cross-device stat sync via axis_name (SyncBatchNorm parity).
+                  batch-stats mode (USE_BATCH_NORM=True) applies with
+                  mutable=['batch_stats']; under pjit/GSPMD the batch mean
+                  is already global, which IS SyncBatchNorm — no explicit
+                  collective needed (tests/test_train_bn.py).
 
 Parameter naming mirrors torch (`weight`, `bias`, `running_mean`,
 `running_var`) so checkpoint import is a pure tree re-shape.

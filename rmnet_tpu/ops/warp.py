@@ -183,11 +183,7 @@ def _grid_sample_packed_u8(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> 
     return out.astype(img.dtype)
 
 
-def backward_warp_quantized(
-    img: jnp.ndarray, flow: jnp.ndarray
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """``backward_warp`` via the 1-gather u8-packed sampler (serving path;
-    inputs must be probabilities in [0, 1])."""
+def _warp_with(sampler, img, flow):
     squeeze = img.ndim == 3
     if squeeze:
         img = img[..., None]
@@ -197,7 +193,7 @@ def backward_warp_quantized(
     ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
     x = xs + flow32[..., 0]
     y = ys + flow32[..., 1]
-    warped = _grid_sample_packed_u8(img, x, y)
+    warped = sampler(img, x, y)
     ones = _axis_coverage(y, H) * _axis_coverage(x, W)
     mask = (ones >= 0.9999).astype(img.dtype)[..., None]
     mask = jnp.broadcast_to(mask, warped.shape)
@@ -205,6 +201,27 @@ def backward_warp_quantized(
     if squeeze:
         return warped[..., 0], mask[..., 0]
     return warped, mask
+
+
+def backward_warp_quantized(
+    img: jnp.ndarray, flow: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``backward_warp`` via the 1-gather u8-packed sampler. FORWARD-ONLY
+    (the pack bitcast kills the cotangent); inputs must be probabilities
+    in [0, 1]. Serving path."""
+    return _warp_with(_grid_sample_packed_u8, img, flow)
+
+
+def backward_warp_fast(
+    img: jnp.ndarray, flow: jnp.ndarray
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """``backward_warp`` with the 2-gather bf16-pair sampler for bf16
+    images (exact bf16 taps, half the gathers). FORWARD-ONLY — use
+    ``backward_warp`` wherever gradients must flow."""
+    W = img.shape[-1] if img.ndim == 3 else img.shape[-2]
+    if img.dtype == jnp.bfloat16 and W >= 2:
+        return _warp_with(_grid_sample_packed_bf16, img, flow)
+    return backward_warp(img, flow)
 
 
 def backward_warp(
@@ -234,10 +251,12 @@ def backward_warp(
     x = xs + flow32[..., 0]
     y = ys + flow32[..., 1]
 
-    if img.dtype == jnp.bfloat16 and W >= 2:
-        warped = _grid_sample_packed_bf16(img, x, y)
-    else:
-        warped = grid_sample_bilinear(img, x, y)
+    # NOTE: the generic tap gather differentiates correctly for every dtype
+    # (training backprops through the warp into prev_mask and flow, like
+    # torch grid_sample). The packed fast paths route through bitcasts,
+    # whose cotangent is zero — they live behind backward_warp_fast /
+    # backward_warp_quantized and are FORWARD-ONLY by contract.
+    warped = grid_sample_bilinear(img, x, y)
     # ones-warp in closed form (== grid_sample of an all-ones image)
     ones = _axis_coverage(y, H) * _axis_coverage(x, W)
     # Reference binarization: <0.9999 -> 0, >0 -> 1 (models/rmnet.py:274-275).

@@ -3,8 +3,10 @@
 TPU-native replacements for the reference's parallel machinery:
   * torch.nn.DataParallel (core/train.py:68-69) -> a jax.sharding.Mesh with
     the batch axis sharded; XLA inserts the gradient all-reduce over ICI.
-  * SyncBatchNorm via NCCL world_size=1 (core/train.py:59-66) -> BatchNorm2d
-    axis_name pmean (rmnet_tpu/nn/layers.py) when batch-stats training is on.
+  * SyncBatchNorm via NCCL world_size=1 (core/train.py:59-66) -> implicit:
+    under GSPMD the batch mean inside BatchNorm2d is computed over the
+    GLOBAL (sharded) batch, so batch-stats training is synced by
+    construction (tests/test_train_bn.py asserts replica-identical stats).
   * the eval_server thread-per-GPU farm (utils/eval_server.py:78-127) ->
     DeviceFarm: per-device jitted replicas fed from host threads.
 """

@@ -40,3 +40,43 @@ def test_att_map_gradient_cancels_through_softmax():
 
     grad_raw = np.asarray(jax.grad(g)(logits))
     assert np.abs(grad_raw[:, :, 4:-4, 4:-4]).mean() > 0.5
+
+
+def test_att_small_gradient_cancels_on_training_path():
+    """The invariant must hold on the path training ACTUALLY uses —
+    get_att_small with skip_bg_warp=False (RMNetApply.step). A training
+    apply accidentally built with the inference flags would warp only K-1
+    channels and break the cancellation; pin the real branch."""
+    K, H, W = 3, 24, 32
+    apply = RMNetApply(RMNet(), memorize_every=1)  # training defaults
+    assert not apply.skip_bg_warp and not apply.warp_u8
+    rs = np.random.RandomState(1)
+    logits = jnp.asarray(rs.randn(1, K, H, W).astype(np.float32))
+    flow = jnp.asarray((rs.rand(1, H, W, 2).astype(np.float32) - 0.5) * 2.0)
+
+    def f(lg):
+        probs = jax.nn.softmax(lg, axis=1)
+        att = apply.get_att_small(probs, flow, (H // 8, W // 8), (0, 0))
+        return jnp.sum(att)
+
+    grad = np.asarray(jax.grad(f)(logits))
+    interior = grad[:, :, 4:-4, 4:-4]
+    assert np.abs(interior).max() < 1e-4, np.abs(interior).max()
+
+
+def test_backward_warp_bf16_gradient_is_nonzero():
+    """Regression: the packed bf16 sampler routes through bitcasts whose
+    cotangent is ZERO — backward_warp must never auto-select it. bf16
+    training (TRAIN.BF16) backprops through the warp into prev_mask."""
+    from rmnet_tpu.ops import backward_warp
+
+    rs = np.random.RandomState(2)
+    img = jnp.asarray(rs.rand(1, 16, 20, 2).astype(np.float32)).astype(jnp.bfloat16)
+    flow = jnp.zeros((1, 16, 20, 2), jnp.bfloat16)
+
+    def f(im):
+        warped, _ = backward_warp(im, flow)
+        return jnp.sum(warped.astype(jnp.float32))
+
+    g = np.asarray(jax.grad(f)(img), np.float32)
+    assert np.abs(g).sum() > 100.0  # identity warp: grad == ones-ish
