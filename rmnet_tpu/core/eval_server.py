@@ -64,20 +64,57 @@ def fetch_remote_checkpoints(url: str, local_dir: str, evaluated: Set[str]):
 
 def eval_server(cfg, ckpt_dir: str, poll_seconds: float = 15.0,
                 keep_best_only: bool = True, max_iterations: Optional[int] = None,
-                remote_url: Optional[str] = None):
+                remote_url: Optional[str] = None, stop_event=None):
     """Run forever (or max_iterations): evaluate every new checkpoint.
+
+    Dispatch is ASYNCHRONOUS: new checkpoints are submitted to a persistent
+    per-device farm and the poll loop keeps running — completed evaluations
+    are harvested every tick, so a slow checkpoint on one device never
+    delays scoring/pruning of a fast one on another (the reference harvests
+    worker threads while polling every 15 s, utils/eval_server.py:216-263).
 
     With ``remote_url``, new .pth checkpoints are scraped+downloaded from an
     HTTP directory listing into ``ckpt_dir`` before each scan (the reference
-    eval_server's --remote mode)."""
+    eval_server's --remote mode). ``stop_event`` (a ``threading.Event``)
+    requests a graceful exit: the loop stops scanning, drains in-flight
+    evaluations, and returns."""
     log_dir = os.path.join(cfg.DIR.OUTPUT_DIR, "logs", cfg.CONST.EXP_NAME)
     writer = SummaryWriter(log_dir, "eval_server")
 
     evaluated: Set[str] = set()
     scores: Dict[str, Metrics] = {}
+    pending: Dict[str, Any] = {}  # path -> Future
     best_path: Optional[str] = None
+    farm = None
     iteration = 0
-    while max_iterations is None or iteration < max_iterations:
+
+    def record(path, metrics, tick):
+        nonlocal best_path
+        if metrics is None:  # skip bad checkpoints, keep serving
+            return
+        scores[path] = metrics
+        jf = metrics.state_dict()[cfg.TEST.MAIN_METRIC_NAME]
+        writer.add_scalar("EvalServer/%s" % cfg.TEST.MAIN_METRIC_NAME, jf, tick)
+        logging.info("Evaluated %s: %s", os.path.basename(path), metrics)
+        if best_path is None or metrics.better_than(scores.get(best_path)):
+            best_path = path
+
+    def harvest(tick):
+        for path in [p for p, f in pending.items() if f.done()]:
+            record(path, pending.pop(path).result(), tick)
+
+    def prune():
+        # keep only the best checkpoint on disk
+        # (reference utils/eval_server.py:225-236)
+        if not keep_best_only:
+            return
+        for p in list(scores):
+            if p != best_path and os.path.exists(p):
+                shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+                logging.info("Removed non-best checkpoint %s", p)
+
+    stopped = (lambda: stop_event.is_set()) if stop_event is not None else (lambda: False)
+    while (max_iterations is None or iteration < max_iterations) and not stopped():
         iteration += 1
         if remote_url:
             try:
@@ -86,46 +123,34 @@ def eval_server(cfg, ckpt_dir: str, poll_seconds: float = 15.0,
                 logging.warning("remote checkpoint fetch failed: %s", ex)
         fresh = get_checkpoints(ckpt_dir, evaluated)
         evaluated.update(os.path.basename(p) for p in fresh)
-        if fresh:
-            results = evaluate_checkpoints_farm(cfg, fresh)
-            for path, metrics in zip(fresh, results):
-                if metrics is None:  # skip bad checkpoints, keep serving
-                    continue
-                scores[path] = metrics
-                jf = metrics.state_dict()[cfg.TEST.MAIN_METRIC_NAME]
-                writer.add_scalar("EvalServer/%s" % cfg.TEST.MAIN_METRIC_NAME,
-                                  jf, iteration)
-                logging.info("Evaluated %s: %s", os.path.basename(path), metrics)
-                if best_path is None or metrics.better_than(scores.get(best_path)):
-                    best_path = path
-            if keep_best_only:
-                # keep only the best checkpoint on disk
-                # (reference utils/eval_server.py:225-236)
-                for p in list(scores):
-                    if p != best_path and os.path.exists(p):
-                        shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
-                        logging.info("Removed non-best checkpoint %s", p)
-        if max_iterations is None or iteration < max_iterations:
-            time.sleep(poll_seconds)
+        if fresh and farm is None:
+            farm = _make_farm(cfg)
+        for path in fresh:
+            pending[path] = farm.submit(path)
+        harvest(iteration)
+        prune()
+        if (max_iterations is None or iteration < max_iterations) and not stopped():
+            if stop_event is not None:
+                stop_event.wait(poll_seconds)
+            else:
+                time.sleep(poll_seconds)
+    # drain in-flight evaluations before returning
+    for path, future in pending.items():
+        record(path, future.result(), iteration)
+    prune()
+    if farm is not None:
+        farm.shutdown()
     writer.close()
     return best_path, scores
 
 
-def evaluate_checkpoints_farm(cfg, paths):
-    """Evaluate checkpoints concurrently, one model replica per device.
+def _make_eval_worker(cfg, dataset):
+    """DeviceFarm work fn: score one checkpoint on one pinned device.
 
-    The TPU twin of the reference's thread-per-GPU checkpoint farm
-    (utils/eval_server.py:78-87, 249-263): each DeviceFarm worker pins an
-    InferenceEngine to its device and scores one checkpoint over the full
-    val set; a failed checkpoint yields None (skip-and-continue). Each
-    worker builds its own DataLoader, as the reference's per-replica
-    loaders do (utils/eval_server.py:84-86).
-    """
-
-    # dataset parsed once; each worker gets its own LIGHT loader over it
-    # (the reference builds one loader per replica, utils/eval_server.py:84-86)
-    dataset = DatasetCollector.get_dataset(cfg, cfg.DATASET.TEST_DATASET,
-                                           DatasetSubset.VAL)
+    Each worker builds its own LIGHT loader over the shared parsed dataset,
+    as the reference's per-replica loaders do (utils/eval_server.py:84-86);
+    a failed checkpoint yields None (skip-and-continue,
+    utils/eval_server.py:111-114)."""
 
     def work(device, _replica, path):
         try:
@@ -138,4 +163,24 @@ def evaluate_checkpoints_farm(cfg, paths):
             logging.exception(ex)
             return None
 
-    return DeviceFarm(work).map(paths)
+    return work
+
+
+def _make_farm(cfg):
+    from rmnet_tpu.parallel.eval_farm import AsyncDeviceFarm
+
+    dataset = DatasetCollector.get_dataset(cfg, cfg.DATASET.TEST_DATASET,
+                                           DatasetSubset.VAL)
+    return AsyncDeviceFarm(_make_eval_worker(cfg, dataset))
+
+
+def evaluate_checkpoints_farm(cfg, paths):
+    """Evaluate checkpoints concurrently, one model replica per device.
+
+    Synchronous convenience over the same per-device worker the async
+    eval_server loop uses: each DeviceFarm worker pins an InferenceEngine
+    to its device and scores one checkpoint over the full val set
+    (reference utils/eval_server.py:78-87, 249-263)."""
+    dataset = DatasetCollector.get_dataset(cfg, cfg.DATASET.TEST_DATASET,
+                                           DatasetSubset.VAL)
+    return DeviceFarm(_make_eval_worker(cfg, dataset)).map(paths)

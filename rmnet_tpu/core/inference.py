@@ -23,6 +23,7 @@ def inference_net(cfg, save_overlays: bool = False):
         DatasetCollector.get_dataset(cfg, cfg.DATASET.TEST_DATASET, DatasetSubset.TEST),
         batch_size=1,
         shuffle=False,
+        n_workers=cfg.CONST.N_WORKERS,
     )
 
     _, _, rm_vars, tfn_vars = build_models(cfg, cfg.CONST.RNG_SEED)

@@ -35,6 +35,7 @@ def test_net(
             DatasetCollector.get_dataset(cfg, cfg.DATASET.TEST_DATASET, DatasetSubset.VAL),
             batch_size=1,
             shuffle=False,
+            n_workers=cfg.CONST.N_WORKERS,
         )
 
     if engine is None:

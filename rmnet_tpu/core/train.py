@@ -135,11 +135,13 @@ def train_net(cfg):
         shuffle=True,
         drop_last=True,
         seed=cfg.CONST.RNG_SEED,
+        n_workers=cfg.CONST.N_WORKERS,
     )
     val_loader = DataLoader(
         DatasetCollector.get_dataset(cfg, cfg.DATASET.TEST_DATASET, DatasetSubset.VAL),
         batch_size=1,
         shuffle=False,
+        n_workers=cfg.CONST.N_WORKERS,
     )
 
     dtype = jnp.bfloat16 if cfg.TRAIN.BF16 else None

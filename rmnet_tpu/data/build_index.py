@@ -61,6 +61,76 @@ def build_davis_index(
     return index
 
 
+def build_ytvos_index(root: str, subset: str = "valid") -> Dict[str, dict]:
+    """Regenerate a YouTube-VOS ``meta.json`` from a dataset directory tree.
+
+    YouTube-VOS ships ``<subset>/meta.json`` alongside the data; the
+    reference reads it directly (utils/data_loaders.py:377-409: frame
+    indexes are the union of per-object ``frames`` lists). When only the
+    images/annotations are on disk, this rebuilds the consumed subset of
+    that schema — ``{"videos": {name: {"objects": {id: {"frames": [...]}}}}}``
+    — by scanning palette annotation PNGs:
+
+      * ``train``: an object's frames are exactly the annotation frames in
+        which its id appears (train is densely annotated).
+      * ``valid``/``test``: only first-appearance annotations exist, so an
+        object's frames are every JPEG frame from its first annotated frame
+        onward — the frames a VOS method must predict for that object.
+
+    Layout expected (official): ``<root>/<subset>/JPEGImages/<video>/*.jpg``
+    and ``<root>/<subset>/Annotations/<video>/*.png``.
+    """
+    import numpy as np
+    from PIL import Image
+
+    ann_root = os.path.join(root, subset, "Annotations")
+    img_root = os.path.join(root, subset, "JPEGImages")
+    if not os.path.isdir(ann_root):
+        raise FileNotFoundError(f"no Annotations directory at {ann_root}")
+    videos: Dict[str, dict] = {}
+    for name in sorted(os.listdir(ann_root)):
+        vdir = os.path.join(ann_root, name)
+        if not os.path.isdir(vdir):
+            continue
+        ann_frames = sorted(
+            os.path.splitext(f)[0] for f in os.listdir(vdir)
+            if f.lower().endswith(".png")
+        )
+        img_dir = os.path.join(img_root, name)
+        if os.path.isdir(img_dir):
+            all_frames = sorted(
+                os.path.splitext(f)[0] for f in os.listdir(img_dir)
+                if f.lower().endswith(_IMG_EXTS)
+            )
+        else:
+            all_frames = ann_frames
+        obj_frames: Dict[str, List[str]] = {}
+        for stem in ann_frames:
+            mask = np.asarray(Image.open(os.path.join(vdir, stem + ".png")))
+            for oid in np.unique(mask):
+                if oid == 0 or oid == 255:  # background / ignore
+                    continue
+                obj_frames.setdefault(str(int(oid)), []).append(stem)
+        objects: Dict[str, dict] = {}
+        for oid, frames in sorted(obj_frames.items(), key=lambda kv: int(kv[0])):
+            if subset == "train":
+                objects[oid] = {"frames": frames}
+            else:
+                first = frames[0]
+                objects[oid] = {"frames": [f for f in all_frames if f >= first]}
+        videos[name] = {"objects": objects}
+    return {"videos": videos}
+
+
+def write_ytvos_index(root: str, out_path: str, subset: str = "valid") -> str:
+    """Build and save a YouTube-VOS meta.json; returns the output path."""
+    meta = build_ytvos_index(root, subset=subset)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "w", encoding="utf-8") as f:
+        json.dump(meta, f, indent=1)
+    return out_path
+
+
 def build_file_list(directory: str) -> List[str]:
     """Sorted image-id stems in a directory (the txt-list format of the
     msra10k/mscoco/ade20k pretrain indexes)."""
@@ -102,6 +172,11 @@ def main(argv: Optional[List[str]] = None) -> None:
     d.add_argument("out")
     d.add_argument("--year", default="2017")
     d.add_argument("--resolution", default="480p")
+    y = sub.add_parser("ytvos", help="meta.json from a YouTube-VOS root")
+    y.add_argument("root")
+    y.add_argument("out")
+    y.add_argument("--subset", default="valid",
+                   choices=["train", "valid", "test"])
     i = sub.add_parser("imagelist", help="image-id txt list from a directory")
     i.add_argument("directory")
     i.add_argument("out")
@@ -109,6 +184,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     if args.cmd == "davis":
         path = write_davis_index(args.root, args.out, year=args.year,
                                  resolution=args.resolution)
+    elif args.cmd == "ytvos":
+        path = write_ytvos_index(args.root, args.out, subset=args.subset)
     else:
         path = write_file_list(args.directory, args.out)
     print(path)

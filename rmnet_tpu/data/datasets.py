@@ -413,14 +413,25 @@ class DatasetCollector:
 
 
 class DataLoader:
-    """Minimal batching loader with shuffle / drop_last / thread prefetch."""
+    """Batching loader: shuffle / drop_last / multi-worker decode + prefetch.
+
+    ``n_workers`` is the TPU-host twin of the reference's
+    ``DataLoader(num_workers=cfg.CONST.N_WORKERS)``
+    (/root/reference/core/train.py:37-44): N threads decode batches
+    concurrently (PIL/numpy release the GIL during image decode and array
+    math), a bounded in-flight window caps memory, and batches are emitted
+    strictly in order regardless of which worker finishes first."""
 
     def __init__(self, dataset, batch_size=1, shuffle=False, drop_last=False,
-                 n_prefetch_threads=2, seed=None):
+                 n_prefetch_threads=2, seed=None, n_workers=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
+        # back-compat: n_prefetch_threads<=0 historically meant "synchronous"
+        if n_workers is None:
+            n_workers = 1 if n_prefetch_threads > 0 else 0
+        self.n_workers = n_workers
         self.n_prefetch_threads = n_prefetch_threads
         self.rng = random.Random(seed)
 
@@ -447,28 +458,64 @@ class DataLoader:
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
 
-        if self.n_prefetch_threads <= 0:
+        n_workers = int(self.n_workers)
+        if n_workers <= 0:
             for b in batches:
                 yield self.collate([self.dataset[i] for i in b])
             return
 
-        q: "queue.Queue" = queue.Queue(maxsize=self.n_prefetch_threads * 2)
-        stop = object()
+        # N decode workers, ordered collation: workers pull (batch_idx,
+        # indexes) tasks and deposit results keyed by batch_idx; the
+        # consumer emits batch i only after i-1 (order identical to the
+        # synchronous path). A semaphore bounds decoded-but-unconsumed
+        # batches to 2*N so long videos cannot pile up in RAM.
+        max_inflight = max(2, 2 * n_workers)
+        work_q: "queue.Queue" = queue.Queue()
+        done: dict = {}
+        done_cv = threading.Condition()
+        sem = threading.Semaphore(max_inflight)
+        abandoned = [False]
+
+        def feeder():
+            for task in enumerate(batches):
+                sem.acquire()
+                if abandoned[0]:
+                    break
+                work_q.put(task)
+            for _ in range(n_workers):
+                work_q.put(None)
 
         def worker():
-            for b in batches:
+            while True:
+                task = work_q.get()
+                if task is None:
+                    return
+                bi, b = task
                 try:
-                    q.put(self.collate([self.dataset[i] for i in b]))
+                    res = self.collate([self.dataset[i] for i in b])
                 except Exception as ex:  # surface errors to the consumer
-                    q.put(ex)
-            q.put(stop)
+                    res = ex
+                with done_cv:
+                    done[bi] = res
+                    done_cv.notify_all()
 
-        t = threading.Thread(target=worker, daemon=True)
-        t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        threads = [threading.Thread(target=feeder, daemon=True)]
+        threads += [threading.Thread(target=worker, daemon=True)
+                    for _ in range(n_workers)]
+        for t in threads:
+            t.start()
+        try:
+            for bi in range(len(batches)):
+                with done_cv:
+                    while bi not in done:
+                        done_cv.wait()
+                    item = done.pop(bi)
+                sem.release()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            # unblock the feeder if the consumer abandoned the iterator
+            abandoned[0] = True
+            for _ in range(max_inflight):
+                sem.release()

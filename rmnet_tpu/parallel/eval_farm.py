@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import queue
 import threading
+from concurrent.futures import Future
 from typing import Any, Callable, List, Optional, Sequence
 
 import jax
@@ -75,3 +76,80 @@ class DeviceFarm:
         if errors and all(r is None for r in results):
             raise errors[0]
         return results
+
+
+class AsyncDeviceFarm:
+    """Non-blocking checkpoint farm: persistent per-device worker threads.
+
+    ``DeviceFarm.map`` is a barrier — it joins every worker before
+    returning, which makes a polling caller (the eval_server loop) wait for
+    the whole batch. The reference instead spawns one thread per checkpoint
+    and harvests finished threads on every poll tick
+    (utils/eval_server.py:216-263). This class is that capability: one
+    long-lived worker thread per device pulls items off a shared queue;
+    ``submit`` returns a ``concurrent.futures.Future`` immediately, so a
+    slow item on one device never delays scoring of a fast item on another.
+
+    work_fn has the DeviceFarm signature: callable(device, replica, item).
+    Worker exceptions resolve the future with result ``None`` (the
+    reference's skip-and-continue, utils/eval_server.py:111-114) rather
+    than raising, so a bad checkpoint cannot kill the serving loop.
+    """
+
+    def __init__(
+        self,
+        work_fn: Callable[[Any, Any, Any], Any],
+        variables: Any = None,
+        devices: Optional[Sequence[Any]] = None,
+    ):
+        self.devices = list(devices if devices is not None else jax.devices())
+        self.work_fn = work_fn
+        self.replicas = (
+            [None] * len(self.devices) if variables is None
+            else [jax.device_put(variables, d) for d in self.devices]
+        )
+        self._in_q: "queue.Queue" = queue.Queue()
+        self._stopped = False
+        self._threads = [
+            threading.Thread(target=self._worker, args=(i,), daemon=True)
+            for i in range(len(self.devices))
+        ]
+        for t in self._threads:
+            t.start()
+
+    def _worker(self, dev_idx: int):
+        device = self.devices[dev_idx]
+        replica = self.replicas[dev_idx]
+        while True:
+            task = self._in_q.get()
+            if task is None:  # shutdown sentinel
+                return
+            future, item = task
+            if not future.set_running_or_notify_cancel():
+                continue
+            try:
+                future.set_result(self.work_fn(device, replica, item))
+            except Exception:
+                import logging
+
+                logging.exception("AsyncDeviceFarm worker failed on %r", item)
+                future.set_result(None)
+
+    def submit(self, item: Any) -> Future:
+        """Enqueue an item; returns immediately with a Future."""
+        if self._stopped:
+            raise RuntimeError("farm is shut down")
+        future: Future = Future()
+        self._in_q.put((future, item))
+        return future
+
+    def shutdown(self, wait: bool = True):
+        """Stop workers after the queue drains; idempotent."""
+        if self._stopped:
+            return
+        self._stopped = True
+        for _ in self._threads:
+            self._in_q.put(None)
+        if wait:
+            for t in self._threads:
+                t.join()

@@ -6,7 +6,12 @@ import os
 import numpy as np
 from PIL import Image
 
-from rmnet_tpu.data.build_index import build_davis_index, build_file_list
+from rmnet_tpu.data.build_index import (
+    build_davis_index,
+    build_file_list,
+    build_ytvos_index,
+    write_ytvos_index,
+)
 from rmnet_tpu.utils.profiling import Stopwatch, trace_if
 
 
@@ -27,6 +32,70 @@ def test_build_davis_index(tmp_path):
     ]
     assert idx["val"] == [{"name": "camel", "n_frames": 3}]
     assert idx["test"] == []
+
+
+def _write_ytvos_tree(root, subset, dense):
+    """Synthetic YouTube-VOS subset: video 'v1' with object 1 from frame 0
+    and object 2 appearing at frame 00005. ``dense``: annotate every frame
+    (train layout) vs first-appearance only (valid layout)."""
+    frame_ids = ["00000", "00005", "00010"]
+    img_dir = root / subset / "JPEGImages" / "v1"
+    ann_dir = root / subset / "Annotations" / "v1"
+    img_dir.mkdir(parents=True)
+    ann_dir.mkdir(parents=True)
+    for i, fid in enumerate(frame_ids):
+        Image.new("RGB", (16, 16)).save(img_dir / f"{fid}.jpg")
+        annotate = dense or i == 0 or fid == "00005"
+        if not annotate:
+            continue
+        m = np.zeros((16, 16), np.uint8)
+        if dense or i == 0:
+            m[2:6, 2:6] = 1
+        if i >= 1:
+            m[8:12, 8:12] = 2
+        pm = Image.fromarray(m, mode="P")
+        pm.putpalette([0, 0, 0, 128, 0, 0, 0, 128, 0] + [0] * 759)
+        pm.save(ann_dir / f"{fid}.png")
+
+
+def test_build_ytvos_index_valid(tmp_path):
+    """valid: objects cover every JPEG frame from first appearance onward
+    (sparse first-appearance annotations — reference
+    utils/data_loaders.py:377-409 takes the union of these lists)."""
+    _write_ytvos_tree(tmp_path, "valid", dense=False)
+    meta = build_ytvos_index(str(tmp_path), subset="valid")
+    objs = meta["videos"]["v1"]["objects"]
+    assert objs["1"]["frames"] == ["00000", "00005", "00010"]
+    assert objs["2"]["frames"] == ["00005", "00010"]
+
+
+def test_build_ytvos_index_train_and_dataset_roundtrip(tmp_path):
+    """train: frames are exactly the annotated appearances; the written
+    meta.json must be directly consumable by YoutubeVosDataset."""
+    from rmnet_tpu.config import Config
+    from rmnet_tpu.data import DatasetCollector, DatasetSubset
+
+    _write_ytvos_tree(tmp_path, "train", dense=True)
+    meta = build_ytvos_index(str(tmp_path), subset="train")
+    objs = meta["videos"]["v1"]["objects"]
+    assert objs["1"]["frames"] == ["00000", "00005", "00010"]
+    assert objs["2"]["frames"] == ["00005", "00010"]
+
+    out = write_ytvos_index(str(tmp_path), str(tmp_path / "train" / "meta.json"),
+                            subset="train")
+    with open(out) as f:
+        assert json.load(f) == meta
+
+    cfg = Config()
+    cfg.DATASETS.YOUTUBE_VOS.INDEXING_FILE_PATH = str(tmp_path / "%s" / "meta.json")
+    cfg.DATASETS.YOUTUBE_VOS.IMG_FILE_PATH = str(tmp_path / "%s/JPEGImages/%s/%s.jpg")
+    cfg.DATASETS.YOUTUBE_VOS.ANNOTATION_FILE_PATH = str(tmp_path / "%s/Annotations/%s/%s.png")
+    cfg.DATASETS.YOUTUBE_VOS.OPTICAL_FLOW_FILE_PATH = str(tmp_path / "%s/OpticalFlows/%s/%s.flo")
+    ds = DatasetCollector.get_dataset(cfg, "YOUTUBE_VOS", DatasetSubset.TRAIN)
+    assert len(ds) == 1
+    name, n_objects, frames, masks, flows = ds[0]
+    assert name == "YouTubeVOS/v1"
+    assert frames.shape[0] == cfg.TRAIN.N_MAX_FRAMES
 
 
 def test_build_file_list(tmp_path):
