@@ -143,12 +143,18 @@ def main():
     fps = max(fps_runs)
     fps_median = float(np.median(fps_runs))
 
+    # device-only path: dedicated warmup (its program differs from run_once —
+    # no per-chunk downloads — so the first call pays residual compile /
+    # staging and was a 2.5x outlier inside best-of-3 in round 2), then
+    # median-of-5 with best alongside, same estimator policy as e2e.
+    run_device_only()
     dev_runs = []
-    for _ in range(3):
+    for _ in range(5):
         tic = time.perf_counter()
         run_device_only()
         dev_runs.append((T - 1) / (time.perf_counter() - tic))
-    device_fps = max(dev_runs)
+    device_fps = float(np.median(dev_runs))
+    device_fps_best = max(dev_runs)
     total = np.concatenate(labels_out, axis=0)
     # labels come back packed: 5 px/byte (K<=3), 4 px/byte (K<=4), 2 (K<=16)
     assert total.shape in (
@@ -168,6 +174,7 @@ def main():
         # chip+dispatch capability, label download excluded (the dev-box
         # tunnel moves ~8 MB/s; real v5e host IO is GB/s)
         "device_fps": round(device_fps, 3),
+        "device_fps_best": round(device_fps_best, 3),
         "device_runs": [round(f, 2) for f in dev_runs],
     }))
 

@@ -39,6 +39,9 @@ def main():
     T = int(os.environ.get("BENCH_TRAIN_FRAMES", "3"))
     K = int(os.environ.get("BENCH_TRAIN_OBJECTS", "3")) + 1
     HW = int(os.environ.get("BENCH_TRAIN_SIZE", "465"))
+    # bisection knobs (perf experiments; defaults = the real train recipe)
+    remat = os.environ.get("BENCH_TRAIN_REMAT", "encoders")  # step|encoders|none
+    loss_sel = os.environ.get("BENCH_TRAIN_LOSS", "both")  # both|nll|lovasz|none
 
     cfg = Config()
     cfg.TRAIN.BF16 = bf16
@@ -49,7 +52,15 @@ def main():
     params = jax.device_put(rm_vars["params"])
     extra = {k: jax.device_put(v) for k, v in rm_vars.items() if k != "params"}
     opt_state = jax.device_put(optimizer.init(params))
-    train_step = make_train_step(cfg, apply, tflownet, optimizer, remat=True)
+    if loss_sel != "both":  # loss-term ablation for the perf bisection
+        import rmnet_tpu.core.train as train_mod
+
+        zero = lambda *a, **k: jnp.zeros((), jnp.float32)
+        if loss_sel in ("nll", "none"):
+            train_mod.lovasz_loss = zero
+        if loss_sel in ("lovasz", "none"):
+            train_mod.nll_loss = zero
+    train_step = make_train_step(cfg, apply, tflownet, optimizer, remat=remat)
 
     rs = np.random.RandomState(0)
     labels = rs.randint(0, K, (B, T, HW, HW))
@@ -81,12 +92,15 @@ def main():
     p, o, e, loss = train_step(p, o, e, batch, lr)  # compile + warm
     sync(p)
 
+    from rmnet_tpu.utils.profiling import trace_if
+
     times = []
-    for _ in range(3):
-        tic = time.perf_counter()
-        p, o, e, loss = train_step(p, o, e, batch, lr)
-        sync(p)
-        times.append(time.perf_counter() - tic)
+    with trace_if():  # RMNET_TRACE_DIR=<dir> captures a profiler trace
+        for _ in range(3):
+            tic = time.perf_counter()
+            p, o, e, loss = train_step(p, o, e, batch, lr)
+            sync(p)
+            times.append(time.perf_counter() - tic)
     sec = float(np.median(times))
 
     est_mfu = None
@@ -95,7 +109,9 @@ def main():
 
     print(json.dumps({
         "metric": f"train step B={B} T={T} K={K - 1}obj {HW}x{HW} "
-                  f"{'bf16' if bf16 else 'f32'} (fwd scan + BPTT + Adam, remat)",
+                  f"{'bf16' if bf16 else 'f32'} (fwd scan + BPTT + Adam, "
+                  f"remat={remat}"
+                  + (f", loss={loss_sel}" if loss_sel != "both" else "") + ")",
         "value": round(sec, 4),
         "unit": "s/step",
         "flops_per_step": flops,

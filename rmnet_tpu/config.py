@@ -138,6 +138,10 @@ class Train:
     # TPU-specific additions
     DATA_PARALLEL: int = 1  # devices along the batch axis of the mesh
     BF16: bool = False       # bfloat16 compute for the conv stacks
+    # gradient rematerialization: "encoders" recomputes only the ResNet-50
+    # interiors in the backward pass (fastest that fits reference scale),
+    # "step" recomputes whole frames (smallest memory), "none" saves all
+    REMAT: str = "encoders"
     RESUME_FULL_STATE: bool = True  # restore epoch + optimizer (the
     # reference notably restarts its schedule on resume, core/train.py:85-98)
 

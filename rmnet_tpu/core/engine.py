@@ -88,18 +88,21 @@ class InferenceEngine:
         # for an eval sweep. OPT-IN only (use_flash_attention=True or
         # RMNET_FLASH=1); default is the dense MXU read.
         import dataclasses
-        import os
 
-        use_flash = self._use_flash_pref
-        if use_flash is None:
-            use_flash = os.environ.get("RMNET_FLASH") == "1"
-        use_flash = bool(use_flash) and jax.default_backend() != "cpu"
-        return dataclasses.replace(self.apply, use_flash_attention=use_flash)
+        return dataclasses.replace(
+            self.apply, use_flash_attention=self._flash_enabled()
+        )
 
     def _capacity_for(self, T: int, commit: np.ndarray) -> int:
         """Per-video bank capacity: exact commit count, bucketed to a
         multiple of 8 so videos share compiled programs; a configured
-        fixed capacity is honored but warned about when it would evict."""
+        fixed capacity is honored but warned about when it would evict.
+
+        With the Pallas flash read the bucket is much coarser (default 32,
+        RMNET_FLASH_BUCKET): padded slots are invalid and the block-sparse
+        kernel skips their tiles for free, so one big bucket means ONE
+        Mosaic compile per (H, W, K) geometry for a whole eval sweep
+        instead of one per bank size."""
         needed = int(np.sum(commit[: max(T - 1, 1)]))
         if self.capacity:
             if needed > self.capacity:
@@ -114,7 +117,20 @@ class InferenceEngine:
                     self.capacity, needed, T, needed - self.capacity,
                 )
             return self.capacity
+        if self._flash_enabled():
+            import os
+
+            bucket = int(os.environ.get("RMNET_FLASH_BUCKET", "32"))
+            return max(bucket, -(-needed // bucket) * bucket)
         return max(8, -(-needed // 8) * 8)
+
+    def _flash_enabled(self) -> bool:
+        import os
+
+        use_flash = self._use_flash_pref
+        if use_flash is None:
+            use_flash = os.environ.get("RMNET_FLASH") == "1"
+        return bool(use_flash) and jax.default_backend() != "cpu"
 
     # ------------------------------------------------------------- jit fns
     def _get_chunk_fn(self, use_tfn_flow: bool, return_probs: bool,

@@ -28,6 +28,7 @@ import random
 import signal
 import time
 import zipfile
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -67,16 +68,29 @@ def cosine_lr(base_lr: float, epoch: int, n_epochs: int) -> float:
     return base_lr * 0.5 * (1.0 + np.cos(np.pi * epoch / n_epochs))
 
 
-def make_train_step(cfg, apply: RMNetApply, tflownet, optimizer, remat: bool = True):
-    """Build the jitted train step for the selected network."""
+def make_train_step(cfg, apply: RMNetApply, tflownet, optimizer,
+                    remat: Optional[str] = None):
+    """Build the jitted train step for the selected network.
+
+    ``remat`` (default cfg.TRAIN.REMAT): "step" recomputes whole frames in
+    the backward pass (minimum memory — the round-2 default, needed without
+    object/batch headroom); "encoders" recomputes only the two ResNet-50
+    interiors (they are the bulk of saved activations but only ~half the
+    recompute; measured ~1.3x faster at reference scale, docs/PERFORMANCE.md);
+    "none" saves everything (fastest when it fits)."""
     import dataclasses
 
     network = cfg.TRAIN.NETWORK
     ignore = cfg.CONST.IGNORE_IDX
-    if remat:
+    remat = remat if remat is not None else getattr(cfg.TRAIN, "REMAT", "step")
+    if remat in (True, "step"):
         # per-frame remat: only scan carries persist; within-step encoder /
         # decoder activations recompute in the backward pass
         apply = dataclasses.replace(apply, remat=True)
+    elif remat == "encoders":
+        apply = dataclasses.replace(apply, remat_encoders=True)
+    elif remat not in (False, "none"):
+        raise ValueError(f"unknown remat mode {remat!r}")
 
     def rmnet_loss(params, extra_vars, batch):
         variables = {"params": params, **extra_vars}

@@ -28,6 +28,7 @@ rmnet_tpu/ops/aggregation.py.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any, Dict, NamedTuple, Optional, Tuple
 
@@ -396,12 +397,20 @@ class RMNetApply:
     # rematerialize per scan step (training): keeps only the carry between
     # frames and recomputes within-step activations in the backward pass
     remat: bool = False
+    # selective remat (training): recompute only the two ResNet-50 encoder
+    # interiors in the backward pass — their internals are ~90% of saved
+    # activations but only ~half the recompute FLOPs of a whole-step remat,
+    # so this trades a little memory for one fewer full forward per frame
+    remat_encoders: bool = False
 
     # ----------------------------------------------------------------- utils
     def _apply(self, variables, method, *args):
         kwargs = {}
         if method in ("encode_memory", "encode_memory_shared", "encode_query"):
             kwargs["train_bn"] = self.train_bn
+            if self.remat_encoders and not self.train_bn:
+                fn = functools.partial(self.model.apply, method=method, **kwargs)
+                return jax.checkpoint(fn)(variables, *args)
             if self.train_bn:
                 # trainable BN (reference core/train.py:59-66): batch stats
                 # normalize, running stats update -> returned to the caller,
@@ -547,6 +556,7 @@ class RMNetApply:
         mem_values: jnp.ndarray, # (B, K, S, h, w, Cv)
         slot_valid: jnp.ndarray, # (S,) or (B, K, S) bool
         obj_valid: jnp.ndarray,  # (B, K) bool
+        mem_bboxes: Optional[jnp.ndarray] = None,  # (B, K, S, 4) int32
     ) -> Tuple[jnp.ndarray, Optional[Dict[str, Any]]]:
         """One segmentation pass -> ((B, K, H, W) logits, batch_stats|None)
         (reference models/rmnet.py:304-383). ``att_small`` is the /16-grid
@@ -577,7 +587,18 @@ class RMNetApply:
             slot_valid_bk = slot_valid[:, 1:].reshape(B * Ko, S)
 
         if self.use_flash_attention:
-            from rmnet_tpu.ops.flash_attention import memory_read_flash as _read
+            from rmnet_tpu.ops.flash_attention import memory_read_flash
+
+            # bank bboxes drive block-sparse tile skipping: memory k/v are
+            # exactly zero outside each slot's regional box (memorize masks
+            # them by the rasterized att map), so the kernel visits only
+            # in-box tiles (SURVEY §7.3; reference reg_att_map_generator.cu
+            # + models/rmnet.py:243-248 shrink the attention the same way)
+            box_bk = (
+                mem_bboxes[:, 1:].reshape(B * Ko, S, 4)
+                if mem_bboxes is not None else None
+            )
+            _read = functools.partial(memory_read_flash, bboxes=box_bk)
         else:
             _read = memory_read
         m4, _ = _read(
@@ -673,8 +694,12 @@ class RMNetApply:
         lw, uw, lh, uh = divide_pads(H, W, 16)
         out_hw = ((H + lh + uh) // 16, (W + lw + uw) // 16)
         att_small = self.get_att_small(state.prev_mask, flow, out_hw, (lh, lw))
+        this_bboxes = jnp.concatenate(
+            [new_bboxes, prev_box[:, :, None]], axis=2
+        ) if self.use_flash_attention else None
         logit, bn = self.segment(
-            variables, frame, att_small, this_keys, this_values, slot_valid, obj_valid
+            variables, frame, att_small, this_keys, this_values, slot_valid,
+            obj_valid, mem_bboxes=this_bboxes,
         )
 
         # ---- new-object injection (models/rmnet.py:436-442)

@@ -1,4 +1,4 @@
-"""Fused regional memory read as a Pallas TPU kernel (flash-style).
+"""Fused regional memory read as a Pallas TPU kernel (flash-style, block-sparse).
 
 The STM memory read (reference MemoryReader, models/rmnet.py:143-165)
 computes ``softmax_over_M(K_mem @ q / sqrt(Ck)) . V_mem`` where
@@ -11,6 +11,25 @@ fixed-capacity-bank semantics (invalid slots contribute zero probability;
 valid-but-regionally-masked positions keep score 0 and take softmax mass,
 as the reference intends).
 
+Block sparsity (the algorithmic heart of RMNet — the reference shrinks the
+attention work to flow-tracked object boxes, models/rmnet.py:243-248 +
+reg_att_map_generator.cu:15-93): memory keys/values are *exactly zero*
+outside each slot's regional bbox (``memorize`` multiplies them by the
+0/1 att map), so any memory tile with no in-box valid position contributes
+scores of exactly 0 and values of exactly 0. Such tiles are skipped
+entirely — no DMA, no FLOPs — and their softmax mass is restored in closed
+form: a skipped tile holds ``z`` valid zero-score positions, which add
+``z * exp(0 - m)`` to the softmax denominator and nothing to the numerator.
+Tile skipping works by scalar-prefetch index remapping: active tiles are
+compacted to the front of the grid order and trailing inactive steps re-map
+to the last active tile (Pallas skips the copy when consecutive grid steps
+reference the same block).
+
+This also makes bank-capacity padding free: slots past the cursor are
+invalid, every one of their tiles is skipped, so the engine can pad all
+banks to one bucketed capacity and compile the kernel ONCE per (h, w, K)
+geometry instead of once per bank size.
+
 Forward-only: training uses the XLA path (differentiable); the engine flips
 ``RMNetApply.use_flash_attention`` on for inference.
 """
@@ -19,7 +38,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +48,9 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, acc_ref, m_ref, l_ref, *, scale):
+def _kernel(order_ref, active_ref, z_ref, q_ref, k_ref, v_ref, bias_ref,
+            out_ref, acc_ref, m_ref, l_ref, *, scale):
+    n = pl.program_id(0)
     mi = pl.program_id(1)
     n_m = pl.num_programs(1)
 
@@ -39,48 +60,70 @@ def _kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, acc_ref, m_ref, l_ref, *, sc
         m_ref[:] = jnp.full_like(m_ref, _NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0]  # (Qp, Ck)
-    k = k_ref[0]  # (MT, Ck)
-    v = v_ref[0]  # (MT, Cv)
-    bias = bias_ref[0]  # (1, MT) additive: 0 valid, -inf invalid
+    @pl.when(active_ref[n, mi] == 1)
+    def _():
+        q = q_ref[0]        # (Qp, Ck)
+        k = k_ref[0, 0]     # (MT, Ck)
+        v = v_ref[0, 0]     # (MT, Cv)
+        bias = bias_ref[0, 0]  # (1, MT) additive: 0 valid, -inf invalid
 
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (Qp, MT)
-    s = s + bias  # broadcast over rows
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (Qp, MT)
+        s = s + bias  # broadcast over rows
 
-    m_prev = m_ref[:]  # (Qp, 1)
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)  # (Qp, MT)
+        m_prev = m_ref[:]  # (Qp, 1)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)  # (Qp, MT)
 
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    m_ref[:] = m_new
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = m_new
 
     @pl.when(mi == n_m - 1)
     def _():
-        out_ref[0] = (acc_ref[:] / l_ref[:]).astype(out_ref.dtype)
+        # closed-form mass of the skipped valid zero-score positions:
+        # z positions with s = 0 contribute z * exp(0 - m) to l and 0 to acc
+        z = z_ref[n].astype(jnp.float32)
+        m = m_ref[:]
+        m2 = jnp.where(z > 0, jnp.maximum(m, 0.0), m)
+        alpha = jnp.exp(m - m2)
+        l = l_ref[:] * alpha + z * jnp.exp(-m2)
+        l = jnp.where(l > 0, l, 1.0)  # no valid positions at all -> output 0
+        out_ref[0] = (acc_ref[:] * alpha / l).astype(out_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(jax.jit, static_argnames=("mt", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("stride", "mt", "interpret")
+)
 def flash_memory_read(
     m_key: jnp.ndarray,      # (N, S, h, w, Ck)
     m_val: jnp.ndarray,      # (N, S, h, w, Cv)
     q_key: jnp.ndarray,      # (N, h, w, Ck)
     slot_valid: jnp.ndarray, # (N, S) bool
+    bboxes: Optional[jnp.ndarray] = None,  # (N, S, 4) int32 full-res
+    stride: int = 16,
     mt: int = 512,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Fused memory read -> (N, h, w, Cv) (without the q_val concat)."""
+    """Fused memory read -> (N, h, w, Cv) (without the q_val concat).
+
+    ``bboxes`` are the per-slot regional boxes in full-resolution padded
+    coordinates (x_min, x_max, y_min, y_max — the layout the bank stores,
+    ops/att_map.py::_bboxes). When given, memory positions outside a slot's
+    box are known-zero (memorize masks k/v by the /stride rasterized map)
+    and whole tiles of them are skipped. Without bboxes only invalid slots
+    are skipped.
+    """
     N, S, h, w, Ck = m_key.shape
     Cv = m_val.shape[-1]
     hw = h * w
@@ -89,6 +132,7 @@ def flash_memory_read(
 
     Qp = _round_up(Q, 8)
     Mp = _round_up(M, mt)
+    nt = Mp // mt
 
     mk = m_key.reshape(N, M, Ck)
     mv = m_val.reshape(N, M, Cv)
@@ -99,31 +143,72 @@ def flash_memory_read(
         mk = jnp.pad(mk, ((0, 0), (0, Mp - M), (0, 0)))
         mv = jnp.pad(mv, ((0, 0), (0, Mp - M), (0, 0)))
 
-    # additive bias per memory position: 0 for valid slots, -inf otherwise
+    # ---- per-position validity and possibly-nonzero ("in box") masks
     pos_valid = jnp.repeat(slot_valid, hw, axis=1)  # (N, M)
+    if bboxes is None:
+        in_box = pos_valid
+    else:
+        # /stride sample grid of memorize's raster (ops/att_map.py::
+        # _raster_small with offset (0, 0)): cell (i, j) is nonzero iff
+        # y_min <= stride*i <= y_max and x_min <= stride*j <= x_max
+        ys = (jnp.arange(h, dtype=jnp.int32) * stride)[:, None]  # (h, 1)
+        xs = (jnp.arange(w, dtype=jnp.int32) * stride)[None, :]  # (1, w)
+        x_min = bboxes[..., 0][:, :, None, None]
+        x_max = bboxes[..., 1][:, :, None, None]
+        y_min = bboxes[..., 2][:, :, None, None]
+        y_max = bboxes[..., 3][:, :, None, None]
+        cell = ((ys >= y_min) & (ys <= y_max) & (xs >= x_min) & (xs <= x_max))
+        in_box = (cell.reshape(N, M) & pos_valid)
+
     if Mp != M:
         pos_valid = jnp.pad(pos_valid, ((0, 0), (0, Mp - M)))
-    bias = jnp.where(pos_valid, 0.0, _NEG_INF).astype(jnp.float32)[:, None, :]  # (N, 1, Mp)
+        in_box = jnp.pad(in_box, ((0, 0), (0, Mp - M)))
 
-    grid = (N, Mp // mt)
-    out = pl.pallas_call(
-        functools.partial(_kernel, scale=1.0 / math.sqrt(Ck)),
-        grid=grid,
+    tile_active = jnp.any(in_box.reshape(N, nt, mt), axis=2)  # (N, nt)
+    # valid positions in skipped tiles: all zero-key, score exactly 0
+    z = jnp.sum(
+        pos_valid.reshape(N, nt, mt).sum(axis=2) * (~tile_active), axis=1
+    ).astype(jnp.int32)  # (N,)
+
+    # compaction order: active tiles first (original order), trailing steps
+    # repeat the last active tile so their DMA is elided
+    idx_sorted = jnp.argsort(~tile_active, axis=1).astype(jnp.int32)
+    a = tile_active.sum(axis=1).astype(jnp.int32)  # (N,)
+    last_active = jnp.take_along_axis(
+        idx_sorted, jnp.maximum(a - 1, 0)[:, None], axis=1
+    )  # (N, 1)
+    ar = jnp.arange(nt, dtype=jnp.int32)[None]
+    order = jnp.where(ar < a[:, None], idx_sorted, last_active)
+    active_sorted = (ar < a[:, None]).astype(jnp.int32)
+
+    # additive bias per memory position: 0 for valid slots, -inf otherwise
+    bias = jnp.where(pos_valid, 0.0, _NEG_INF).astype(jnp.float32)
+    bias = bias.reshape(N, nt, 1, mt)
+    mk = mk.reshape(N, nt, mt, Ck)
+    mv = mv.reshape(N, nt, mt, Cv)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(N, nt),
         in_specs=[
-            pl.BlockSpec((1, Qp, Ck), lambda n, mi: (n, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mt, Ck), lambda n, mi: (n, mi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, mt, Cv), lambda n, mi: (n, mi, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, mt), lambda n, mi: (n, 0, mi), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Qp, Ck), lambda n, mi, o, act, zz: (n, 0, 0)),
+            pl.BlockSpec((1, 1, mt, Ck), lambda n, mi, o, act, zz: (n, o[n, mi], 0, 0)),
+            pl.BlockSpec((1, 1, mt, Cv), lambda n, mi, o, act, zz: (n, o[n, mi], 0, 0)),
+            pl.BlockSpec((1, 1, 1, mt), lambda n, mi, o, act, zz: (n, o[n, mi], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Qp, Cv), lambda n, mi: (n, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, Qp, Cv), q_key.dtype),
+        out_specs=pl.BlockSpec((1, Qp, Cv), lambda n, mi, o, act, zz: (n, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((Qp, Cv), jnp.float32),
             pltpu.VMEM((Qp, 1), jnp.float32),
             pltpu.VMEM((Qp, 1), jnp.float32),
         ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=1.0 / math.sqrt(Ck)),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, Qp, Cv), q_key.dtype),
         interpret=interpret,
-    )(qk, mk, mv, bias)
+    )(order, active_sorted, z, qk, mk, mv, bias)
 
     return out[:, :Q].reshape(N, h, w, Cv)
 
@@ -134,8 +219,10 @@ def memory_read_flash(
     q_key: jnp.ndarray,
     q_val: jnp.ndarray,
     slot_valid: jnp.ndarray,
+    bboxes: Optional[jnp.ndarray] = None,
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, None]:
     """Drop-in for models.rmnet.memory_read (affinity not returned)."""
-    mem = flash_memory_read(m_key, m_val, q_key, slot_valid, interpret=interpret)
+    mem = flash_memory_read(m_key, m_val, q_key, slot_valid, bboxes=bboxes,
+                            interpret=interpret)
     return jnp.concatenate([mem.astype(q_val.dtype), q_val], axis=-1), None
