@@ -537,9 +537,17 @@ class RMNetApply:
             )
         else:
             # training: warp ALL K channels (straight-through grad invariant)
-            m_img = prev_mask.transpose(0, 2, 3, 1)
-            warped, _ = warp_fn(m_img, flow)
-            expt = warped.transpose(0, 3, 1, 2)
+            # via the fused warp+att op — its custom VJP exploits that the
+            # att map's constant-ones gradient is channel-uniform, replacing
+            # autodiff's K-channel tap scatter with ONE splat
+            # (ops/att_map.py::warped_regional_attention_small; exact)
+            from rmnet_tpu.ops.att_map import warped_regional_attention_small
+
+            return warped_regional_attention_small(
+                prev_mask, flow, out_hw, offset, 16,
+                self.prob_threshold, self.n_pts_threshold,
+                self.n_bbox_loose_pixels,
+            )
         att_small, _ = regional_attention_small(
             expt, out_hw, offset, 16,
             self.prob_threshold, self.n_pts_threshold, self.n_bbox_loose_pixels,

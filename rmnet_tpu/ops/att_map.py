@@ -207,6 +207,113 @@ def regional_attention_small(
     return att, bboxes
 
 
+def _warp_splat_ones(flow: jnp.ndarray, H: int, W: int) -> jnp.ndarray:
+    """Transpose of the masked bilinear warp applied to an all-ones cotangent.
+
+    ``backward_warp`` computes ``out = grid_sample(img, x, y) * valid`` with
+    x = j + flow_x, y = i + flow_y (ops/warp.py). Its vector-Jacobian wrt
+    ``img`` for a channel-uniform cotangent c is the channel-invariant field
+
+        omega[p] = sum_{q, tap} c[q] * valid(q) * w_tap(q) * [idx_tap(q) == p]
+
+    i.e. "splat" each output pixel's bilinear weights back onto its four
+    source taps. One single-channel scatter-add replaces the K-channel
+    scatter XLA autodiff emits — measured 123 ms -> ~30 ms per train step
+    at 480p K=4 (the att-map chain's cotangent is ALWAYS the constant ones
+    of the straight-through gradient, so this is exact, not approximate).
+    """
+    B = flow.shape[0]
+    flow32 = flow.astype(jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)[None, None, :]
+    ys = jnp.arange(H, dtype=jnp.float32)[None, :, None]
+    x = xs + flow32[..., 0]
+    y = ys + flow32[..., 1]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    wx1 = x - x0
+    wy1 = y - y0
+
+    # the validity multiplier applied to the warped output (ops/warp.py:
+    # _warp_with): closed-form ones-coverage thresholded at 0.9999
+    from rmnet_tpu.ops.warp import _axis_coverage
+
+    cov = _axis_coverage(y, H) * _axis_coverage(x, W)
+    ct = (cov >= 0.9999).astype(jnp.float32)  # (B, H, W)
+
+    idx_all = []
+    val_all = []
+    for dy, wy in ((0.0, 1.0 - wy1), (1.0, wy1)):
+        yi = y0 + dy
+        in_y = (yi >= 0) & (yi <= H - 1)
+        yc = jnp.clip(yi, 0, H - 1)
+        for dx, wx in ((0.0, 1.0 - wx1), (1.0, wx1)):
+            xi = x0 + dx
+            valid = in_y & (xi >= 0) & (xi <= W - 1)
+            idx = (yc * W + jnp.clip(xi, 0, W - 1)).astype(jnp.int32)
+            idx_all.append(idx.reshape(B, H * W))
+            val_all.append((ct * wy * wx * valid).reshape(B, H * W))
+    idx = jnp.concatenate(idx_all, axis=1)   # (B, 4*H*W)
+    val = jnp.concatenate(val_all, axis=1)
+    omega = jnp.zeros((B, H * W), jnp.float32).at[
+        jnp.arange(B, dtype=jnp.int32)[:, None], idx
+    ].add(val)
+    return omega.reshape(B, H, W)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6, 7))
+def warped_regional_attention_small(
+    mask: jnp.ndarray,           # (B, K, H, W)
+    flow: jnp.ndarray,           # (B, H, W, 2)
+    out_hw: Tuple[int, int],
+    offset: Tuple[int, int] = (0, 0),
+    stride: int = 16,
+    prob_threshold: float = 0.5,
+    n_pts_threshold: int = 10,
+    n_bbox_loose_pixels: int = 64,
+) -> jnp.ndarray:
+    """Fused warp -> regional att map with the exact reference gradient.
+
+    Forward: identical to ``backward_warp`` + ``regional_attention_small``
+    (the training branch of RMNetApply.get_att_small). Backward: the att
+    map's straight-through gradient is CONSTANT ones regardless of the
+    upstream cotangent (extensions/reg_att_map_generator/__init__.py:22-24),
+    and the warped mask feeds nothing else (reference models/rmnet.py:
+    280-287), so the cotangent reaching the warp is always channel-uniform
+    ones. That makes grad(mask) the channel-broadcast splat field
+    ``_warp_splat_ones`` and grad(flow) dead (the reference's precomputed
+    flows are requires_grad=False leaves; RMNet training never consumes a
+    flow gradient) — one cheap scatter instead of autodiff through the
+    4-tap gather chain.
+    """
+    from rmnet_tpu.ops.warp import backward_warp
+
+    m_img = mask.transpose(0, 2, 3, 1)
+    warped, _ = backward_warp(m_img, flow)
+    expt = warped.transpose(0, 3, 1, 2)
+    bboxes = _bboxes(expt, prob_threshold, n_pts_threshold, n_bbox_loose_pixels)
+    return _raster_small(bboxes, out_hw, offset, stride, mask.dtype)
+
+
+def _wsmall_fwd(mask, flow, out_hw, offset, stride, pt, npt, loose):
+    out = warped_regional_attention_small(
+        mask, flow, out_hw, offset, stride, pt, npt, loose
+    )
+    # residuals: flow (to rebuild the splat) + a 0-sized dtype/K-shape probe
+    return out, (flow, jnp.zeros((mask.shape[1], 0), mask.dtype))
+
+
+def _wsmall_bwd(out_hw, offset, stride, pt, npt, loose, res, ct):
+    flow, dt = res
+    K = dt.shape[0]
+    B, H, W = flow.shape[0], flow.shape[1], flow.shape[2]
+    omega = _warp_splat_ones(flow, H, W)  # (B, H, W)
+    grad_mask = jnp.broadcast_to(omega[:, None], (B, K, H, W)).astype(dt.dtype)
+    return grad_mask, jnp.zeros_like(flow)
+
+
+warped_regional_attention_small.defvjp(_wsmall_fwd, _wsmall_bwd)
+
+
 def _small_fwd(mask, out_hw, offset, stride, pt, npt, loose):
     out = regional_attention_small(mask, out_hw, offset, stride, pt, npt, loose)
     # shape/dtype-only residual (a lazy broadcast, never materialized)

@@ -42,6 +42,50 @@ def test_att_map_gradient_cancels_through_softmax():
     assert np.abs(grad_raw[:, :, 4:-4, 4:-4]).mean() > 0.5
 
 
+def test_fused_warp_att_matches_unfused_value_and_grad():
+    """warped_regional_attention_small (round-3 train-perf custom VJP: one
+    single-channel splat instead of autodiff's K-channel tap scatter) must
+    equal the unfused warp -> regional_attention_small chain in BOTH value
+    and gradient — the fusion is an exact rewrite, not an approximation."""
+    from rmnet_tpu.ops.att_map import (
+        regional_attention_small,
+        warped_regional_attention_small,
+    )
+    from rmnet_tpu.ops.warp import backward_warp
+
+    K, H, W = 4, 32, 48
+    rs = np.random.RandomState(2)
+    mask = jnp.asarray(rs.rand(2, K, H, W).astype(np.float32))
+    flow = jnp.asarray((rs.rand(2, H, W, 2).astype(np.float32) - 0.5) * 6.0)
+    out_hw, offset = (H // 8, W // 8), (0, 0)
+
+    def unfused(m):
+        warped, _ = backward_warp(m.transpose(0, 2, 3, 1), flow)
+        att, _ = regional_attention_small(
+            warped.transpose(0, 3, 1, 2), out_hw, offset, 8, 0.5, 10, 4
+        )
+        return att
+
+    def fused(m):
+        return warped_regional_attention_small(
+            m, flow, out_hw, offset, 8, 0.5, 10, 4
+        )
+
+    np.testing.assert_array_equal(np.asarray(fused(mask)),
+                                  np.asarray(unfused(mask)))
+    # weighted-sum cotangent: the att op's straight-through grad ignores the
+    # upstream cotangent, so both paths must produce the same mask gradient
+    w = jnp.asarray(rs.rand(2, K, H // 8, W // 8).astype(np.float32))
+    g_un = jax.grad(lambda m: jnp.sum(unfused(m) * w))(mask)
+    g_fu = jax.grad(lambda m: jnp.sum(fused(m) * w))(mask)
+    np.testing.assert_allclose(np.asarray(g_fu), np.asarray(g_un),
+                               rtol=1e-5, atol=1e-6)
+    # the gradient is channel-uniform (the invariant the fusion exploits)
+    g = np.asarray(g_fu)
+    np.testing.assert_allclose(g, np.broadcast_to(g[:, :1], g.shape),
+                               rtol=0, atol=1e-6)
+
+
 def test_att_small_gradient_cancels_on_training_path():
     """The invariant must hold on the path training ACTUALLY uses —
     get_att_small with skip_bg_warp=False (RMNetApply.step). A training
