@@ -81,12 +81,15 @@ class InferenceEngine:
         self._flow_fn = None
 
     def _apply_for(self) -> RMNetApply:
-        # Memory-read backend. The fused Pallas kernel beats dense XLA at
-        # runtime once the bank is large (S=24: 2.0 ms flash vs ~3.4 dense)
-        # BUT costs ~340 s of Mosaic compile PER bank-size bucket on this
-        # toolchain — that amortizes only for long-running serving, never
-        # for an eval sweep. OPT-IN only (use_flash_attention=True or
-        # RMNET_FLASH=1); default is the dense MXU read.
+        # Memory-read backend. The block-sparse Pallas kernel beats dense
+        # XLA at every bank size (S=8: 1.25 ms vs 1.80; S=24: 1.68 vs 3.34;
+        # S=40: 3.01 vs 5.35 — docs/PERFORMANCE.md round-3 table) and the
+        # coarse capacity bucket means ONE ~25-50 s Mosaic compile per
+        # (H, W, K) geometry. That compile never amortizes inside a single
+        # eval sweep, so it stays OPT-IN (use_flash_attention=True or
+        # RMNET_FLASH=1) for long-running processes — serving, or an
+        # eval_server scoring many checkpoints at one geometry; default is
+        # the dense MXU read.
         import dataclasses
 
         return dataclasses.replace(
