@@ -134,9 +134,16 @@ def eval_server(cfg, ckpt_dir: str, poll_seconds: float = 15.0,
                 stop_event.wait(poll_seconds)
             else:
                 time.sleep(poll_seconds)
-    # drain in-flight evaluations before returning
+    # drain in-flight evaluations before returning; on a stop request,
+    # queued-but-unstarted ones are all cancelled FIRST (stopping must not
+    # run the whole backlog of full val-set evaluations, and cancelling
+    # before blocking on any result keeps workers from starting more)
+    cancelled = (
+        {p for p, f in pending.items() if f.cancel()} if stopped() else set()
+    )
     for path, future in pending.items():
-        record(path, future.result(), iteration)
+        if path not in cancelled:
+            record(path, future.result(), iteration)
     prune()
     if farm is not None:
         farm.shutdown()

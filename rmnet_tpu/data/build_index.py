@@ -26,6 +26,13 @@ _DAVIS_SPLITS = (
 )
 
 
+def _frame_key(stem: str):
+    """Sort/compare key for frame stems: numeric stems compare numerically
+    ('100' after '95'); YT-VOS's zero-padded stems are unaffected, but
+    re-exported layouts without fixed-width names stay correct."""
+    return (0, int(stem), stem) if stem.isdigit() else (1, 0, stem)
+
+
 def count_frames(video_dir: str) -> int:
     """Number of image frames in a video directory."""
     if not os.path.isdir(video_dir):
@@ -93,14 +100,14 @@ def build_ytvos_index(root: str, subset: str = "valid") -> Dict[str, dict]:
         if not os.path.isdir(vdir):
             continue
         ann_frames = sorted(
-            os.path.splitext(f)[0] for f in os.listdir(vdir)
-            if f.lower().endswith(".png")
+            (os.path.splitext(f)[0] for f in os.listdir(vdir)
+             if f.lower().endswith(".png")), key=_frame_key,
         )
         img_dir = os.path.join(img_root, name)
         if os.path.isdir(img_dir):
             all_frames = sorted(
-                os.path.splitext(f)[0] for f in os.listdir(img_dir)
-                if f.lower().endswith(_IMG_EXTS)
+                (os.path.splitext(f)[0] for f in os.listdir(img_dir)
+                 if f.lower().endswith(_IMG_EXTS)), key=_frame_key,
             )
         else:
             all_frames = ann_frames
@@ -116,8 +123,10 @@ def build_ytvos_index(root: str, subset: str = "valid") -> Dict[str, dict]:
             if subset == "train":
                 objects[oid] = {"frames": frames}
             else:
-                first = frames[0]
-                objects[oid] = {"frames": [f for f in all_frames if f >= first]}
+                first = _frame_key(frames[0])
+                objects[oid] = {
+                    "frames": [f for f in all_frames if _frame_key(f) >= first]
+                }
         videos[name] = {"objects": objects}
     return {"videos": videos}
 

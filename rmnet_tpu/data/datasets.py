@@ -19,6 +19,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from rmnet_tpu.data.io import IO
+from rmnet_tpu.data.rng import pyrand, seed_stream
 from rmnet_tpu.data import transforms as T
 
 
@@ -83,13 +84,13 @@ class VideoDataset:
         if n_frames <= n_max_frames:
             # short videos: sample with replacement (YouTube-VOS d177e9878a
             # has 2 frames — reference utils/data_loaders.py:77-79)
-            return random.choices(list(range(n_frames)), k=n_max_frames)
+            return pyrand().choices(list(range(n_frames)), k=n_max_frames)
 
         begin_ub = n_frames - (n_max_frames - 1) * self.frame_step - 1
-        begin = random.randint(0, begin_ub) if begin_ub > 0 else 0
+        begin = pyrand().randint(0, begin_ub) if begin_ub > 0 else 0
         end = begin + (n_max_frames - 1) * self.frame_step
         if end >= n_frames:
-            return sorted(random.sample(list(range(n_frames)), n_max_frames))
+            return sorted(pyrand().sample(list(range(n_frames)), n_max_frames))
         return list(range(begin, end + 1, self.frame_step))
 
     def set_frame_step(self, frame_step):
@@ -118,7 +119,7 @@ class MultipleDatasets:
         dataset, repeat = self.datasets[d_idx]
         if repeat >= 1:
             return dataset[(idx - self.indexes[d_idx]) % len(dataset)]
-        return dataset[random.randint(0, len(dataset) - 1)]
+        return dataset[pyrand().randint(0, len(dataset) - 1)]
 
     def set_frame_step(self, frame_step):
         for d, _ in self.datasets:
@@ -457,11 +458,20 @@ class DataLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
+        # per-epoch base for the per-batch decode RNG streams (drawn AFTER
+        # the shuffle so shuffle sequences are unchanged across versions).
+        # Decoded data then depends only on (loader seed, epoch, batch
+        # index) — identical for any worker count or thread scheduling.
+        epoch_seed = self.rng.getrandbits(31)
+
+        def decode(bi, b):
+            seed_stream(epoch_seed * 1000003 + bi)
+            return self.collate([self.dataset[i] for i in b])
 
         n_workers = int(self.n_workers)
         if n_workers <= 0:
-            for b in batches:
-                yield self.collate([self.dataset[i] for i in b])
+            for bi, b in enumerate(batches):
+                yield decode(bi, b)
             return
 
         # N decode workers, ordered collation: workers pull (batch_idx,
@@ -492,7 +502,7 @@ class DataLoader:
                     return
                 bi, b = task
                 try:
-                    res = self.collate([self.dataset[i] for i in b])
+                    res = decode(bi, b)
                 except Exception as ex:  # surface errors to the consumer
                     res = ex
                 with done_cv:

@@ -29,6 +29,7 @@ from typing import List, Optional, Sequence
 
 import numpy as np
 
+from rmnet_tpu.data.rng import nprand, pyrand
 from rmnet_tpu.ops.flow_affine import update_optical_flow
 
 
@@ -203,7 +204,7 @@ class ToOneHot:
         self.n_objects = parameters["n_objects"]
 
     def __call__(self, frames, masks, optical_flows):
-        perm = np.random.permutation(self.n_objects) + 1
+        perm = nprand().permutation(self.n_objects) + 1
         perm = np.insert(perm, 0, 0)
         out = []
         for m in masks:
@@ -233,7 +234,7 @@ class RandomPermuteRGB:
         pass
 
     def __call__(self, frames, masks, optical_flows):
-        perm = np.random.permutation(3)
+        perm = nprand().permutation(3)
         for idx, f in enumerate(frames):
             frames[idx] = f[..., perm]
         return frames, masks, optical_flows
@@ -248,7 +249,7 @@ class RandomFlip:
         pass
 
     def __call__(self, frames, masks, optical_flows):
-        if random.random() <= 0.5:
+        if pyrand().random() <= 0.5:
             for idx in range(len(frames)):
                 frames[idx] = np.flip(frames[idx], axis=1).copy()
                 masks[idx] = np.flip(masks[idx], axis=1).copy()
@@ -323,15 +324,15 @@ class RandomCrop:
             if bbox_height <= self.height:
                 y_lb = max(y_min - height_diff, 0)
                 y_ub = min(img_h - self.height, y_min)
-                y_min = random.randint(y_lb, y_ub) if y_lb < y_ub else 0
+                y_min = pyrand().randint(y_lb, y_ub) if y_lb < y_ub else 0
             else:
-                y_min = random.randint(y_min, y_min + height_diff)
+                y_min = pyrand().randint(y_min, y_min + height_diff)
             if bbox_width <= self.width:
                 x_lb = max(x_min - width_diff, 0)
                 x_ub = min(img_w - self.width, x_min)
-                x_min = random.randint(x_lb, x_ub) if x_lb < x_ub else 0
+                x_min = pyrand().randint(x_lb, x_ub) if x_lb < x_ub else 0
             else:
-                x_min = random.randint(x_min, x_min + width_diff)
+                x_min = pyrand().randint(x_min, x_min + width_diff)
 
             frames[i] = frames[i][y_min:y_min + self.height, x_min:x_min + self.width, :]
             masks[i] = masks[i][y_min:y_min + self.height, x_min:x_min + self.width]
@@ -392,14 +393,14 @@ class ColorJitter:
     def __call__(self, frames, masks, optical_flows):
         ops = []
         if self.brightness is not None:
-            ops.append(("brightness", random.uniform(*self.brightness)))
+            ops.append(("brightness", pyrand().uniform(*self.brightness)))
         if self.contrast is not None:
-            ops.append(("contrast", random.uniform(*self.contrast)))
+            ops.append(("contrast", pyrand().uniform(*self.contrast)))
         if self.saturation is not None:
-            ops.append(("saturation", random.uniform(*self.saturation)))
+            ops.append(("saturation", pyrand().uniform(*self.saturation)))
         if self.hue is not None:
-            ops.append(("hue", random.uniform(*self.hue)))
-        random.shuffle(ops)
+            ops.append(("hue", pyrand().uniform(*self.hue)))
+        pyrand().shuffle(ops)
         for idx, f in enumerate(frames):
             out = f.astype(np.float32)
             for op, factor in ops:
@@ -449,18 +450,18 @@ class RandomAffine:
     @staticmethod
     def get_params(degrees, translate, scale_ranges, shears, img_size):
         """torchvision RandomAffine.get_params semantics."""
-        angle = random.uniform(degrees[0], degrees[1])
+        angle = pyrand().uniform(degrees[0], degrees[1])
         if translate is not None:
             max_dx = translate[0] * img_size[0]
             max_dy = translate[1] * img_size[1]
             translations = (
-                np.round(random.uniform(-max_dx, max_dx)),
-                np.round(random.uniform(-max_dy, max_dy)),
+                np.round(pyrand().uniform(-max_dx, max_dx)),
+                np.round(pyrand().uniform(-max_dy, max_dy)),
             )
         else:
             translations = (0, 0)
-        scale = random.uniform(scale_ranges[0], scale_ranges[1]) if scale_ranges else 1.0
-        shear = random.uniform(shears[0], shears[1]) if shears else 0.0
+        scale = pyrand().uniform(scale_ranges[0], scale_ranges[1]) if scale_ranges else 1.0
+        shear = pyrand().uniform(shears[0], shears[1]) if shears else 0.0
         return angle, translations, scale, shear
 
     @staticmethod

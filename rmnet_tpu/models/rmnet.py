@@ -408,18 +408,21 @@ class RMNetApply:
         kwargs = {}
         if method in ("encode_memory", "encode_memory_shared", "encode_query"):
             kwargs["train_bn"] = self.train_bn
-            if self.remat_encoders and not self.train_bn:
-                fn = functools.partial(self.model.apply, method=method, **kwargs)
-                return jax.checkpoint(fn)(variables, *args)
             if self.train_bn:
                 # trainable BN (reference core/train.py:59-66): batch stats
                 # normalize, running stats update -> returned to the caller,
                 # which threads them through the per-frame scan carry
-                out, mut = self.model.apply(
-                    variables, *args, method=method,
+                fn = functools.partial(
+                    self.model.apply, method=method,
                     mutable=["batch_stats"], **kwargs,
                 )
+                if self.remat_encoders:
+                    fn = jax.checkpoint(fn)
+                out, mut = fn(variables, *args)
                 return out, mut["batch_stats"]
+            if self.remat_encoders:
+                fn = functools.partial(self.model.apply, method=method, **kwargs)
+                return jax.checkpoint(fn)(variables, *args)
         return self.model.apply(variables, *args, method=method, **kwargs)
 
     # ------------------------------------------------------------- memorize

@@ -135,7 +135,9 @@ def nll_loss(
     onehot = (
         flat_l[:, None] == jnp.arange(C, dtype=flat_l.dtype)[None]
     ) & valid[:, None]
-    losses = -jnp.sum(flat_lp * onehot.astype(flat_lp.dtype), axis=-1)
+    # select (not multiply) so -inf log-probs in non-label/ignored columns
+    # stay out of the sum instead of producing 0 * -inf = NaN
+    losses = -jnp.sum(jnp.where(onehot, flat_lp, 0), axis=-1)
     n = jnp.sum(valid)
     return jnp.sum(losses) / jnp.maximum(n, 1)
 

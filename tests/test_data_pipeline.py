@@ -1,11 +1,9 @@
 """End-to-end data pipeline tests over a synthetic on-disk DAVIS-style set."""
 
-import json
 import os
 
 import numpy as np
 import pytest
-from PIL import Image
 
 from rmnet_tpu.config import Config
 from rmnet_tpu.data import DatasetCollector, DatasetSubset, DataLoader, write_flo, read_flo
@@ -17,37 +15,9 @@ from rmnet_tpu.data.transforms import (
 )
 
 
-def make_synthetic_davis(root, n_videos=2, n_frames=4, hw=(64, 96)):
-    h, w = hw
-    img_dir = os.path.join(root, "JPEGImages/480p")
-    ann_dir = os.path.join(root, "Annotations/480p")
-    flo_dir = os.path.join(root, "OpticalFlows/480p")
-    index = {"train": [], "val": [], "test": [], "test-challenge": []}
-    rs = np.random.RandomState(7)
-    for v in range(n_videos):
-        name = f"vid{v:02d}"
-        for d in (img_dir, ann_dir, flo_dir):
-            os.makedirs(os.path.join(d, name), exist_ok=True)
-        for i in range(n_frames):
-            img = rs.randint(0, 255, (h, w, 3), np.uint8)
-            Image.fromarray(img).save(os.path.join(img_dir, name, f"{i:05d}.jpg"))
-            mask = np.zeros((h, w), np.uint8)
-            # two moving square objects
-            y = 8 + 3 * i
-            mask[y:y + 16, 10:30] = 1
-            mask[y + 4:y + 20, 50:70] = 2
-            pm = Image.fromarray(mask, mode="P")
-            pm.putpalette([0, 0, 0, 128, 0, 0, 0, 128, 0] + [0] * 759)
-            pm.save(os.path.join(ann_dir, name, f"{i:05d}.png"))
-            flow = np.zeros((h, w, 2), np.float32)
-            flow[..., 1] = -3.0  # objects moved +3px in y; backward flow -3
-            write_flo(os.path.join(flo_dir, name, f"{i:05d}.flo"), flow)
-        for subset in index:
-            index[subset].append({"name": name, "n_frames": n_frames})
-    index_path = os.path.join(root, "DAVIS.json")
-    with open(index_path, "w") as f:
-        json.dump(index, f)
-    return index_path, img_dir, ann_dir, flo_dir
+# canonical fixture generator lives in the package (also used by
+# tools/bench_loader.py); re-exported here for existing importers
+from rmnet_tpu.data.synthetic import make_synthetic_davis  # noqa: E402
 
 
 @pytest.fixture(scope="module")
@@ -112,19 +82,27 @@ def test_dataloader_batching(davis_cfg):
 
 
 def test_dataloader_multiworker_ordered(davis_cfg):
-    """N_WORKERS decode threads must emit batches in the same order as the
-    synchronous path (reference DataLoader(num_workers=N),
-    /root/reference/core/train.py:37-44) — VERDICT round-2 missing #3."""
+    """N_WORKERS decode threads must emit batches in the same order AND with
+    bit-identical data as the synchronous path (reference
+    DataLoader(num_workers=N), /root/reference/core/train.py:37-44): every
+    augmentation draw goes through a per-batch-seeded thread-local stream
+    (data/rng.py), so decoded data depends only on (seed, epoch, batch
+    index), never on worker count or thread scheduling."""
     ds = DatasetCollector.get_dataset(davis_cfg, ["DAVISx8"], DatasetSubset.TRAIN)
     ref = DataLoader(ds, batch_size=2, shuffle=True, seed=3, n_workers=0)
     par = DataLoader(ds, batch_size=2, shuffle=True, seed=3, n_workers=4)
-    ref_batches = list(ref)
-    par_batches = list(par)
-    assert len(ref_batches) == len(par_batches) == 8
-    for (n1, o1, f1, m1, fl1), (n2, o2, f2, m2, fl2) in zip(ref_batches, par_batches):
-        assert n1 == n2
-        np.testing.assert_array_equal(o1, o2)
-        assert f1.shape == f2.shape and m1.shape == m2.shape
+    for epoch in range(2):  # epoch streams differ but stay reproducible
+        ref_batches = list(ref)
+        par_batches = list(par)
+        assert len(ref_batches) == len(par_batches) == 8
+        for (n1, o1, f1, m1, fl1), (n2, o2, f2, m2, fl2) in zip(
+            ref_batches, par_batches
+        ):
+            assert n1 == n2
+            np.testing.assert_array_equal(o1, o2)
+            np.testing.assert_array_equal(f1, f2)
+            np.testing.assert_array_equal(m1, m2)
+            np.testing.assert_array_equal(fl1, fl2)
 
 
 def test_dataloader_multiworker_decodes_concurrently():

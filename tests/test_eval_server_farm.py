@@ -124,3 +124,65 @@ def test_eval_server_async_dispatch(tmp_path, monkeypatch):
     best, scores = result["out"]
     assert len(scores) == 2  # the drain collected the slow one too
     assert slow_finished.is_set()
+
+
+def test_eval_server_stop_cancels_backlog(tmp_path, monkeypatch):
+    """A stop request must drain only IN-FLIGHT evaluations; checkpoints
+    still queued in the farm are cancelled, not run (the reference's stop
+    joins live threads, it does not start new ones)."""
+    import threading
+
+    import rmnet_tpu.core.eval_server as es
+    from rmnet_tpu.parallel.eval_farm import AsyncDeviceFarm
+
+    cfg = Config()
+    cfg.DIR.OUTPUT_DIR = str(tmp_path / "out")
+    cfg.CONST.EXP_NAME = "stopcancel"
+    _, _, rm_vars, tfn_vars = build_models(cfg, 0)
+    ckpt_dir = str(tmp_path / "ckpts")
+    for i in range(4):
+        save_checkpoint(ckpt_dir, f"ckpt-epoch-{i:03d}", {
+            "epoch": i, "best_metrics": None,
+            "rmnet": rm_vars, "tflownet": tfn_vars, "opt_state": None,
+        })
+
+    release = threading.Event()
+    started = threading.Event()
+    evaluated = []
+
+    def work(device, replica, path):
+        started.set()
+        assert release.wait(timeout=30), "test deadlock"
+        evaluated.append(os.path.basename(str(path)))
+        return Metrics(cfg.TEST.MAIN_METRIC_NAME, [0.5] * len(Metrics.names()))
+
+    # ONE worker device: the first checkpoint occupies it, three stay queued
+    monkeypatch.setattr(
+        es, "_make_farm",
+        lambda cfg_: AsyncDeviceFarm(work, devices=jax.devices()[:1]),
+    )
+
+    stop = threading.Event()
+    result = {}
+
+    def run():
+        result["out"] = es.eval_server(cfg, ckpt_dir, poll_seconds=0.02,
+                                       keep_best_only=False, stop_event=stop)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    assert started.wait(timeout=30), "no evaluation ever started"
+    stop.set()       # stop while 3 checkpoints are still queued
+    # the poll loop wakes from stop_event.wait immediately and cancels the
+    # queued futures; give it time before the in-flight eval finishes (in
+    # production that eval is a minutes-long val sweep — the drain's cancels
+    # always land first)
+    import time as time_mod
+
+    time_mod.sleep(3.0)
+    release.set()    # let the in-flight one finish
+    th.join(timeout=30)
+    assert not th.is_alive(), "eval_server did not return after stop"
+    _, scores = result["out"]
+    assert evaluated == ["ckpt-epoch-000"], evaluated  # backlog cancelled
+    assert len(scores) == 1

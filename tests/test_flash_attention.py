@@ -158,3 +158,18 @@ def test_flash_zero_query_uniform():
     mem = np.asarray(out_flash)[..., :64]
     expected = mv.reshape(1, -1, 64).mean(axis=1)  # uniform over all positions
     np.testing.assert_allclose(mem[0, 0, 0], expected[0], rtol=1e-4, atol=1e-5)
+
+
+def test_flash_all_slots_invalid_outputs_zero():
+    """With no valid slot at all the memory half must be exactly 0, not NaN
+    (the kernel's finite -1e30 running-max keeps alpha finite and the l>0
+    guard rewrites the empty denominator)."""
+    mk, mv, qk, qv, valid = _case(1, 2, 4, 8, 128, 64, 3, invalidate=False)
+    valid[:] = False
+    out_flash, _ = memory_read_flash(
+        jnp.asarray(mk), jnp.asarray(mv), jnp.asarray(qk), jnp.asarray(qv),
+        jnp.asarray(valid), interpret=True,
+    )
+    mem = np.asarray(out_flash)[..., :64]
+    assert np.all(np.isfinite(mem))
+    np.testing.assert_array_equal(mem, np.zeros_like(mem))

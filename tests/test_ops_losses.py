@@ -152,3 +152,19 @@ def test_focal_matches_torch():
             step_percent=step,
         )
         assert math.isclose(float(j), golden, rel_tol=1e-5, abs_tol=1e-6), step
+
+
+def test_nll_neg_inf_off_label_columns():
+    """-inf log-probs in non-label columns (exp underflow in log_softmax) and
+    at ignored pixels must not poison the mean: the one-hot contraction
+    selects, it does not multiply (0 * -inf = NaN)."""
+    logp = np.log(np.array([[0.7, 0.3, 0.0], [0.2, 0.8, 0.0]], np.float32))
+    labels = np.array([0, 1])
+    j = float(nll_loss(jnp.asarray(logp), jnp.asarray(labels), 255))
+    golden = -(math.log(0.7) + math.log(0.8)) / 2
+    assert math.isclose(j, golden, rel_tol=1e-6)
+    # an ignored pixel whose row is all -inf contributes nothing
+    logp2 = np.vstack([logp, np.full((1, 3), -np.inf, np.float32)])
+    labels2 = np.array([0, 1, 255])
+    j2 = float(nll_loss(jnp.asarray(logp2), jnp.asarray(labels2), 255))
+    assert math.isclose(j2, golden, rel_tol=1e-6)

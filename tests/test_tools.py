@@ -164,3 +164,22 @@ def test_remote_checkpoint_scrape(tmp_path):
         assert fetch_remote_checkpoints(url, str(local), {"ckpt-epoch-001.pth"}) == []
     finally:
         server.shutdown()
+
+
+def test_build_ytvos_index_unpadded_numeric_stems(tmp_path):
+    """Frame stems without fixed-width zero padding must compare numerically:
+    '100' comes AFTER '95', so an object first seen at '95' includes it."""
+    img_dir = tmp_path / "valid" / "JPEGImages" / "v1"
+    ann_dir = tmp_path / "valid" / "Annotations" / "v1"
+    img_dir.mkdir(parents=True)
+    ann_dir.mkdir(parents=True)
+    for fid in ["9", "95", "100"]:
+        Image.new("RGB", (16, 16)).save(img_dir / f"{fid}.jpg")
+    m = np.zeros((16, 16), np.uint8)
+    m[2:6, 2:6] = 1
+    pm = Image.fromarray(m, mode="P")
+    pm.putpalette([0, 0, 0, 128, 0, 0] + [0] * 762)
+    pm.save(ann_dir / "95.png")
+    meta = build_ytvos_index(str(tmp_path), subset="valid")
+    objs = meta["videos"]["v1"]["objects"]
+    assert objs["1"]["frames"] == ["95", "100"]  # not ['9', '95'] nor ['95']

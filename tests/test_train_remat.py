@@ -13,10 +13,11 @@ from rmnet_tpu.core.train import make_optimizer, make_train_step
 from rmnet_tpu.models.rmnet import RMNetApply
 
 
-def _one_step(remat):
+def _one_step(remat, use_bn=False):
     cfg = Config()
+    cfg.TRAIN.USE_BATCH_NORM = use_bn
     rmnet, tflownet, rm_vars, _ = build_models(cfg, 0)
-    apply = RMNetApply(rmnet, memorize_every=1)
+    apply = RMNetApply(rmnet, memorize_every=1, train_bn=use_bn)
     optimizer = make_optimizer(cfg)
     params = rm_vars["params"]
     extra = {k: v for k, v in rm_vars.items() if k != "params"}
@@ -50,3 +51,14 @@ def test_remat_modes_equivalent():
     np.testing.assert_allclose(loss_none, loss_step, rtol=1e-5)
     np.testing.assert_allclose(leaf_enc, leaf_step, rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(leaf_none, leaf_step, rtol=1e-4, atol=1e-6)
+
+
+def test_remat_encoders_equivalent_under_trainable_bn():
+    """Encoder remat must stay ACTIVE (not a silent no-op) with trainable
+    BN: jax.checkpoint wraps the mutable batch_stats apply, so the update
+    remains numerically identical to the no-remat BN step."""
+    loss_enc, leaf_enc = _one_step("encoders", use_bn=True)
+    loss_none, leaf_none = _one_step("none", use_bn=True)
+    assert np.isfinite(loss_enc)
+    np.testing.assert_allclose(loss_enc, loss_none, rtol=1e-5)
+    np.testing.assert_allclose(leaf_enc, leaf_none, rtol=1e-4, atol=1e-6)

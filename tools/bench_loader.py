@@ -32,7 +32,7 @@ def main():
     ap.add_argument("--repeat", type=int, default=4, help="dataset repeat factor")
     args = ap.parse_args()
 
-    from tests.test_data_pipeline import make_synthetic_davis
+    from rmnet_tpu.data.synthetic import make_synthetic_davis
     from rmnet_tpu.config import Config
     from rmnet_tpu.data import DataLoader, DatasetCollector, DatasetSubset
 
