@@ -97,7 +97,8 @@ def main():
         pending = None
         for f_c, g_c, new_c, com_c, valid_c, n_live in staged:
             state, est = chunk_fn(
-                engine.rmnet_vars, state, f_c, g_c, new_c, com_c, valid_c, obj_valid
+                engine.rmnet_vars, engine.tfn_vars, state,
+                f_c, g_c, new_c, com_c, valid_c, obj_valid
             )
             try:  # start the device->host copy in the background
                 est.copy_to_host_async()
@@ -121,7 +122,8 @@ def main():
         last = None
         for f_c, g_c, new_c, com_c, valid_c, n_live in staged:
             state, last = chunk_fn(
-                engine.rmnet_vars, state, f_c, g_c, new_c, com_c, valid_c, obj_valid
+                engine.rmnet_vars, engine.tfn_vars, state,
+                f_c, g_c, new_c, com_c, valid_c, obj_valid
             )
         np.asarray(last.ravel()[:1])  # tunnel-safe device sync
         return last

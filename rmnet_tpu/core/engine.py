@@ -56,6 +56,7 @@ class InferenceEngine:
         # ``device`` pins the whole engine there (eval-farm replicas — the
         # TPU twin of the reference's per-GPU .cuda(device) pinning,
         # utils/eval_server.py:78-87)
+        self.device = device
         self.rmnet_vars = jax.device_put(rmnet_variables, device)
         self.tfn_vars = jax.device_put(tflownet_variables, device)
         self.memorize_every = memorize_every or cfg.TEST.MEMORIZE_EVERY
@@ -79,6 +80,14 @@ class InferenceEngine:
         )
         self._chunk_fns: Dict[Tuple, Any] = {}
         self._flow_fn = None
+
+    def update_weights(self, rmnet_variables, tflownet_variables) -> None:
+        """Swap in new checkpoint weights WITHOUT recompiling: both weight
+        sets are jit arguments of every compiled program, so a long-running
+        scorer (eval_server farm, per-epoch validation) pays tracing and
+        Mosaic/XLA compilation once per geometry, not once per checkpoint."""
+        self.rmnet_vars = jax.device_put(rmnet_variables, self.device)
+        self.tfn_vars = jax.device_put(tflownet_variables, self.device)
 
     def _apply_for(self) -> RMNetApply:
         # Memory-read backend. The block-sparse Pallas kernel beats dense
@@ -147,16 +156,18 @@ class InferenceEngine:
         key = (use_tfn_flow, return_probs, raw_inputs, n_slots, apply)
         if key not in self._chunk_fns:
             tfn = self.tflownet
-            tfn_vars = self.tfn_vars
             mean = jnp.asarray(self.cfg.CONST.DATASET_MEAN, jnp.float32)
             std = jnp.asarray(self.cfg.CONST.DATASET_STD, jnp.float32)
 
-            def tfn_flow(curr, prev):
-                return tfn.apply(tfn_vars, curr, prev, method="pair_forward")
+            # both weight sets are ARGUMENTS (not traced-in constants), so
+            # update_weights() swaps checkpoints without recompiling — the
+            # eval farm and per-epoch validation reuse compiled programs
+            @functools.partial(jax.jit, donate_argnums=(2,), static_argnums=())
+            def chunk_fn(rm_vars, tfn_vars, state, frames, gt_masks, any_new,
+                         commit, step_valid, obj_valid, flows=None):
+                def tfn_flow(curr, prev):
+                    return tfn.apply(tfn_vars, curr, prev, method="pair_forward")
 
-            @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=())
-            def chunk_fn(rm_vars, state, frames, gt_masks, any_new, commit,
-                         step_valid, obj_valid, flows=None):
                 if raw_inputs:
                     # on-device preprocessing: uint8 RGB -> ImageNet-normalized
                     # floats; uint8 label maps -> one-hot (255-ignore -> zeros)
@@ -350,7 +361,7 @@ class InferenceEngine:
             com_c = pad_tail(commit[t - 1 : end - 1], n_pad)
             valid_c = np.arange(size) < (end - t)
             args = [
-                self.rmnet_vars, state,
+                self.rmnet_vars, self.tfn_vars, state,
                 jnp.asarray(f_c), jnp.asarray(g_c), jnp.asarray(new_c),
                 jnp.asarray(com_c), jnp.asarray(valid_c), obj_valid,
             ]
@@ -440,7 +451,7 @@ class InferenceEngine:
             end = min(t + size, T)
             n_pad = size - (end - t)
             state, est = chunk_fn(
-                self.rmnet_vars, state,
+                self.rmnet_vars, self.tfn_vars, state,
                 jnp.asarray(pad_tail(frames_u8[t:end], n_pad)[:, None]),
                 jnp.asarray(pad_tail(gt_labels[t:end], n_pad)[:, None]),
                 jnp.asarray(pad_tail(any_new[t:end], n_pad)),

@@ -157,14 +157,27 @@ def _make_eval_worker(cfg, dataset):
     Each worker builds its own LIGHT loader over the shared parsed dataset,
     as the reference's per-replica loaders do (utils/eval_server.py:84-86);
     a failed checkpoint yields None (skip-and-continue,
-    utils/eval_server.py:111-114)."""
+    utils/eval_server.py:111-114).
+
+    The freshly-initialized model template is built ONCE (it only provides
+    the pytree structure for the checkpoint import), and each device keeps
+    its pinned engine across checkpoints via ``update_weights`` — weights
+    are jit arguments, so a long-running scorer compiles once per geometry
+    instead of once per checkpoint."""
+    _, _, rm_tmpl, tfn_tmpl = build_models(cfg, cfg.CONST.RNG_SEED)
+    engines = {}  # device -> InferenceEngine; one farm thread per device
 
     def work(device, _replica, path):
         try:
             loader = DataLoader(dataset, batch_size=1, shuffle=False)
-            _, _, rm_vars, tfn_vars = build_models(cfg, cfg.CONST.RNG_SEED)
-            rm_vars, tfn_vars, _ = load_weights_auto(path, rm_vars, tfn_vars)
-            engine = InferenceEngine(cfg, rm_vars, tfn_vars, device=device)
+            rm_vars, tfn_vars, _ = load_weights_auto(path, rm_tmpl, tfn_tmpl)
+            engine = engines.get(device)
+            if engine is None:
+                engines[device] = engine = InferenceEngine(
+                    cfg, rm_vars, tfn_vars, device=device
+                )
+            else:
+                engine.update_weights(rm_vars, tfn_vars)
             return test_net(cfg, -1, loader, None, engine)
         except Exception as ex:  # bad checkpoint: score None, keep serving
             logging.exception(ex)

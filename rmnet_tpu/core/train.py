@@ -242,6 +242,7 @@ def train_net(cfg):
 
     n_batches = len(train_loader)
     last_keep_epoch = -cfg.TRAIN.N_EPOCHS
+    val_engine = None  # reused across epochs; weights swap without recompile
     for epoch_idx in range(init_epoch + 1, cfg.TRAIN.N_EPOCHS + 1):
         epoch_start = time.time()
         batch_time = AverageMeter()
@@ -325,8 +326,11 @@ def train_net(cfg):
         else:
             tfn_vars = {"params": params, **extra_vars}
 
-        engine = InferenceEngine(cfg, rm_vars, tfn_vars)
-        metrics = test_net(cfg, epoch_idx, val_loader, val_writer, engine)
+        if val_engine is None:
+            val_engine = InferenceEngine(cfg, rm_vars, tfn_vars)
+        else:
+            val_engine.update_weights(rm_vars, tfn_vars)
+        metrics = test_net(cfg, epoch_idx, val_loader, val_writer, val_engine)
         if metrics.state_dict()[cfg.TEST.MAIN_METRIC_NAME] > cfg.TRAIN.KEEP_FRAME_STEPS_THRESHOLD:
             last_keep_epoch = epoch_idx
 

@@ -44,3 +44,45 @@ def test_tinyflownet_chunked_flows_shapes():
     assert flows.shape == (5, 64, 64, 2)
     np.testing.assert_array_equal(flows[0], 0.0)
     assert np.isfinite(flows).all()
+
+
+def test_update_weights_no_recompile_matches_fresh_engine():
+    """update_weights must swap checkpoints WITHOUT recompiling (weights are
+    jit arguments): after a swap the reused engine produces exactly what a
+    fresh engine with the new weights produces, with no new compiled fns."""
+    frames, masks, flows, n_objects = build_clip()
+    cfg = Config()
+    cfg.TEST.MEMORIZE_EVERY = 1
+    cfg.TEST.MEMORY_CAPACITY = 4
+
+    _, _, rm_a, tfn_a = build_models(cfg, 0)
+    _, _, rm_b, tfn_b = build_models(cfg, 1)
+
+    engine = InferenceEngine(cfg, rm_a, tfn_a, memorize_every=1, capacity=4)
+    out_a = engine.run_video(frames[0], masks[0], n_objects[0], flows[0])
+    n_compiled = len(engine._chunk_fns)
+
+    engine.update_weights(rm_b, tfn_b)
+    out_b = engine.run_video(frames[0], masks[0], n_objects[0], flows[0])
+    assert len(engine._chunk_fns) == n_compiled, "weight swap recompiled"
+
+    fresh = InferenceEngine(cfg, rm_b, tfn_b, memorize_every=1, capacity=4)
+    out_fresh = fresh.run_video(frames[0], masks[0], n_objects[0], flows[0])
+    assert not np.array_equal(out_a, out_b)  # weights actually changed
+    np.testing.assert_array_equal(out_b, out_fresh)
+
+
+def test_update_weights_swaps_tinyflownet():
+    """TinyFlowNet weights are jit arguments too: compute_flows (and the
+    in-loop tfn_flow) must reflect swapped weights without recompiling."""
+    cfg = Config()
+    _, _, rm_a, tfn_a = build_models(cfg, 0)
+    _, _, rm_b, tfn_b = build_models(cfg, 1)
+    engine = InferenceEngine(cfg, rm_a, tfn_a)
+    frames = np.random.RandomState(0).rand(3, 64, 64, 3).astype(np.float32)
+    fl_a = engine.compute_flows(frames)
+    engine.update_weights(rm_b, tfn_b)
+    fl_b = engine.compute_flows(frames)
+    fresh = InferenceEngine(cfg, rm_b, tfn_b)
+    np.testing.assert_array_equal(fl_b, fresh.compute_flows(frames))
+    assert not np.array_equal(fl_a, fl_b)

@@ -139,7 +139,7 @@ def run_variant(variant: str):
         )
         last = None
         for item in staged:
-            args = [engine.rmnet_vars, state] + item[:5] + [obj_valid] + item[5:]
+            args = [engine.rmnet_vars, engine.tfn_vars, state] + item[:5] + [obj_valid] + item[5:]
             state, last = chunk_fn(*args)
         np.asarray(last.ravel()[:1])  # tunnel-safe sync
         return last
