@@ -166,6 +166,12 @@ def _make_eval_worker(cfg, dataset):
     instead of once per checkpoint."""
     _, _, rm_tmpl, tfn_tmpl = build_models(cfg, cfg.CONST.RNG_SEED)
     engines = {}  # device -> InferenceEngine; one farm thread per device
+    # the block-sparse flash read beats dense XLA at every bank size but its
+    # ~25-50 s Mosaic compile only amortizes in a long-running process —
+    # which an eval server scoring many checkpoints at one geometry is, now
+    # that engines persist across checkpoints. Default it ON here (an
+    # explicit RMNET_FLASH env still wins; single-sweep test_net stays dense)
+    flash_default = True if os.environ.get("RMNET_FLASH") is None else None
 
     def work(device, _replica, path):
         try:
@@ -174,7 +180,8 @@ def _make_eval_worker(cfg, dataset):
             engine = engines.get(device)
             if engine is None:
                 engines[device] = engine = InferenceEngine(
-                    cfg, rm_vars, tfn_vars, device=device
+                    cfg, rm_vars, tfn_vars, device=device,
+                    use_flash_attention=flash_default,
                 )
             else:
                 engine.update_weights(rm_vars, tfn_vars)

@@ -186,3 +186,42 @@ def test_eval_server_stop_cancels_backlog(tmp_path, monkeypatch):
     _, scores = result["out"]
     assert evaluated == ["ckpt-epoch-000"], evaluated  # backlog cancelled
     assert len(scores) == 1
+
+
+def test_farm_worker_defaults_flash_and_reuses_engines(tmp_path, monkeypatch):
+    """The farm's persistent engines amortize the Mosaic flash compile, so
+    the worker defaults use_flash_attention=True (explicit RMNET_FLASH env
+    wins) and constructs at most one engine per device across checkpoints."""
+    import rmnet_tpu.core.eval_server as es
+
+    monkeypatch.delenv("RMNET_FLASH", raising=False)
+    cfg = Config()
+    _, _, rm_vars, tfn_vars = build_models(cfg, 0)
+    ckpt_dir = str(tmp_path / "ckpts")
+    paths = [
+        save_checkpoint(ckpt_dir, f"ckpt-epoch-{i:03d}", {
+            "epoch": i, "best_metrics": None,
+            "rmnet": rm_vars, "tflownet": tfn_vars, "opt_state": None,
+        })
+        for i in range(3)
+    ]
+
+    constructed = []
+    real_engine = es.InferenceEngine
+
+    class CountingEngine(real_engine):
+        def __init__(self, *a, **k):
+            constructed.append(k.get("use_flash_attention"))
+            super().__init__(*a, **k)
+
+    monkeypatch.setattr(es, "InferenceEngine", CountingEngine)
+    monkeypatch.setattr(es, "test_net", lambda *a, **k: Metrics(
+        cfg.TEST.MAIN_METRIC_NAME, [0.5] * len(Metrics.names())))
+    monkeypatch.setattr(es, "DataLoader", lambda *a, **k: [])
+
+    work = es._make_eval_worker(cfg, [])
+    device = jax.devices()[0]
+    for p in paths:
+        assert work(device, None, p) is not None
+    # one construction for 3 checkpoints, flash defaulted on
+    assert constructed == [True]
