@@ -174,21 +174,38 @@ def _make_eval_worker(cfg, dataset):
     flash_default = True if os.environ.get("RMNET_FLASH") is None else None
 
     def work(device, _replica, path):
-        try:
-            loader = DataLoader(dataset, batch_size=1, shuffle=False)
-            rm_vars, tfn_vars, _ = load_weights_auto(path, rm_tmpl, tfn_tmpl)
-            engine = engines.get(device)
-            if engine is None:
-                engines[device] = engine = InferenceEngine(
-                    cfg, rm_vars, tfn_vars, device=device,
-                    use_flash_attention=flash_default,
-                )
-            else:
-                engine.update_weights(rm_vars, tfn_vars)
-            return test_net(cfg, -1, loader, None, engine)
-        except Exception as ex:  # bad checkpoint: score None, keep serving
-            logging.exception(ex)
-            return None
+        for attempt in (0, 1):
+            in_engine = False
+            try:
+                loader = DataLoader(dataset, batch_size=1, shuffle=False)
+                rm_vars, tfn_vars, _ = load_weights_auto(path, rm_tmpl, tfn_tmpl)
+                engine = engines.get(device)
+                if engine is None:
+                    engines[device] = engine = InferenceEngine(
+                        cfg, rm_vars, tfn_vars, device=device,
+                        use_flash_attention=(flash_default if attempt == 0
+                                             else False),
+                    )
+                else:
+                    engine.update_weights(rm_vars, tfn_vars)
+                in_engine = True
+                return test_net(cfg, -1, loader, None, engine)
+            except Exception as ex:  # bad checkpoint: score None, keep serving
+                logging.exception(ex)
+                engine = engines.get(device)
+                if (attempt == 0 and in_engine and engine is not None
+                        and engine._flash_enabled()):
+                    # a Mosaic/flash failure during the run would poison the
+                    # persistent engine for every later checkpoint — drop it
+                    # and retry this checkpoint once on the dense XLA read.
+                    # (A checkpoint-load failure raises BEFORE in_engine and
+                    # keeps the compiled engine.)
+                    logging.warning(
+                        "retrying %s with the dense memory read", path
+                    )
+                    engines.pop(device, None)
+                    continue
+                return None
 
     return work
 

@@ -225,3 +225,53 @@ def test_farm_worker_defaults_flash_and_reuses_engines(tmp_path, monkeypatch):
         assert work(device, None, p) is not None
     # one construction for 3 checkpoints, flash defaulted on
     assert constructed == [True]
+
+
+def test_farm_worker_falls_back_to_dense_on_flash_failure(tmp_path, monkeypatch):
+    """A Mosaic/flash failure during the run must not poison the persistent
+    engine: the worker rebuilds that device's engine with the dense read and
+    rescores the same checkpoint. A checkpoint-LOAD failure must not drop
+    the compiled engine."""
+    import rmnet_tpu.core.eval_server as es
+
+    monkeypatch.delenv("RMNET_FLASH", raising=False)
+    cfg = Config()
+    _, _, rm_vars, tfn_vars = build_models(cfg, 0)
+    ckpt_dir = str(tmp_path / "ckpts")
+    path = save_checkpoint(ckpt_dir, "ckpt-epoch-000", {
+        "epoch": 0, "best_metrics": None,
+        "rmnet": rm_vars, "tflownet": tfn_vars, "opt_state": None,
+    })
+
+    constructed = []
+
+    class FakeEngine:
+        def __init__(self, *a, **k):
+            self.flash = bool(k.get("use_flash_attention"))
+            constructed.append(self.flash)
+
+        def _flash_enabled(self):
+            return self.flash
+
+        def update_weights(self, *a):
+            pass
+
+    def flaky_test_net(cfg_, epoch_idx, loader, writer, engine):
+        if engine._flash_enabled():
+            raise RuntimeError("mosaic boom")
+        return Metrics(cfg_.TEST.MAIN_METRIC_NAME, [0.5] * len(Metrics.names()))
+
+    monkeypatch.setattr(es, "InferenceEngine", FakeEngine)
+    monkeypatch.setattr(es, "test_net", flaky_test_net)
+    monkeypatch.setattr(es, "DataLoader", lambda *a, **k: [])
+
+    work = es._make_eval_worker(cfg, [])
+    device = jax.devices()[0]
+    assert work(device, None, path) is not None
+    assert constructed == [True, False]  # flash failed -> dense rebuild
+
+    # a LOAD failure returns None but keeps the compiled dense engine
+    monkeypatch.setattr(es, "load_weights_auto",
+                        lambda *a: (_ for _ in ()).throw(IOError("corrupt")))
+    assert work(device, None, path) is None
+    assert constructed == [True, False]  # no engine was rebuilt
