@@ -16,6 +16,8 @@ from rmnet_tpu.parallel.mesh import (
     shard_batch,
     replicate,
     data_parallel_sharding,
+    spatial_sharding,
+    spatial_forward_video,
 )
 from rmnet_tpu.parallel.eval_farm import DeviceFarm
 
@@ -24,5 +26,7 @@ __all__ = [
     "shard_batch",
     "replicate",
     "data_parallel_sharding",
+    "spatial_sharding",
+    "spatial_forward_video",
     "DeviceFarm",
 ]

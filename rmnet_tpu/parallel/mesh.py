@@ -44,3 +44,43 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def spatial_sharding(mesh: Mesh, ndim: int, w_axis: int,
+                     axis_name: str = "space") -> NamedSharding:
+    """Sharding that splits a tensor's width axis across the mesh."""
+    spec = [None] * ndim
+    spec[w_axis] = axis_name
+    return NamedSharding(mesh, P(*spec))
+
+
+def spatial_forward_video(apply, variables, frames, masks, optical_flows,
+                          n_objects, mesh: Optional[Mesh] = None,
+                          n_devices: Optional[int] = None):
+    """Spatially-partitioned whole-sequence inference: the frame WIDTH axis
+    is sharded across the mesh and the full forward runs as ONE logical
+    GSPMD program — XLA inserts the halo exchanges for convolutions and the
+    collectives for the global reductions (bboxes, softmax normalizers)
+    over ICI. This is a TPU-native capability beyond the reference (whose
+    DataParallel can only parallelize over batch): a single latency-bound
+    video spreads across chips.
+
+    Weights are replicated; inputs follow RMNetApply.forward_video
+    (rmnet.py:814-821). Returns est_masks gathered to the host layout.
+    """
+    mesh = mesh or make_mesh(n_devices, axis_name="space")
+    axis = mesh.axis_names[0]
+    shard_w = lambda nd, w: spatial_sharding(mesh, nd, w, axis)
+    fn = jax.jit(
+        apply.forward_video,
+        in_shardings=(
+            NamedSharding(mesh, P()),   # weights replicated
+            shard_w(5, 3),              # frames  (B, T, H, W, 3)
+            shard_w(5, 4),              # masks   (B, T, K, H, W)
+            shard_w(5, 3),              # flows   (B, T, H, W, 2)
+            NamedSharding(mesh, P()),   # n_objects
+        ),
+        out_shardings=NamedSharding(mesh, P()),
+    )
+    with mesh:
+        return fn(variables, frames, masks, optical_flows, n_objects)

@@ -50,3 +50,35 @@ def test_device_farm_order_and_errors():
     out = farm.map(list(range(6)))
     assert out[3] is None  # skip-on-error like the reference eval server
     assert out[:3] == [0.0, 2.0, 4.0] and out[4:] == [8.0, 10.0]
+
+
+def test_spatial_partition_matches_single_device():
+    """Width-sharded inference must match the single-device forward exactly
+    (one logical GSPMD program: halo exchanges + collective reductions are
+    XLA's problem, not the model's) — latency scaling beyond the
+    reference's batch-only DataParallel."""
+    import jax.numpy as jnp
+
+    from rmnet_tpu.parallel import make_mesh
+    from rmnet_tpu.parallel.mesh import spatial_forward_video
+    from tests.test_rmnet_forward import build_clip, LOOSE
+    from rmnet_tpu.config import Config
+    from rmnet_tpu.core.engine import build_models
+    from rmnet_tpu.models.rmnet import RMNetApply
+
+    frames, masks, flows, n_objects = build_clip()
+    cfg = Config()
+    _, _, rm_vars, _ = build_models(cfg, 0)
+    apply = RMNetApply(build_models(cfg, 0)[0], memorize_every=1,
+                       n_bbox_loose_pixels=LOOSE)
+
+    ref = np.asarray(jax.jit(apply.forward_video)(
+        rm_vars, jnp.asarray(frames), jnp.asarray(masks),
+        jnp.asarray(flows), jnp.asarray(n_objects),
+    ))
+    mesh = make_mesh(4, axis_name="space")
+    out = np.asarray(spatial_forward_video(
+        apply, rm_vars, jnp.asarray(frames), jnp.asarray(masks),
+        jnp.asarray(flows), jnp.asarray(n_objects), mesh=mesh,
+    ))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
