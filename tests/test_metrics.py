@@ -81,3 +81,19 @@ def test_metrics_get_and_better_than():
     # dict construction
     m3 = Metrics("JF-Mean", {"JF-Mean": 0.5})
     assert m3.state_dict()["JF-Mean"] == 0.5
+
+
+def test_dilate_disk_equals_structure_dilation():
+    """The EDT-threshold dilation must be BIT-identical to
+    binary_dilation(structure=_disk(r)) — same L2 ball, O(N) instead of
+    O(N * disk area)."""
+    import scipy.ndimage
+
+    from rmnet_tpu.utils.metrics import _disk, _dilate_disk
+
+    rs = np.random.RandomState(3)
+    for density in (0.0, 0.002, 0.05):
+        b = rs.rand(77, 133) < density
+        for r in (1, 4, 9):
+            ref = scipy.ndimage.binary_dilation(b, structure=_disk(r))
+            np.testing.assert_array_equal(_dilate_disk(b, r), ref)
