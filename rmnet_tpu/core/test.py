@@ -85,7 +85,8 @@ def _test_videos(cfg, epoch_idx, test_data_loader, test_writer, engine,
             continue
 
         gt_labels = masks[0].argmax(axis=1)
-        metrics = Metrics.get(est_labels, gt_labels)
+        metrics = Metrics.get(est_labels, gt_labels,
+                              n_workers=cfg.CONST.N_WORKERS)
         weight = int(np.max(n_objects[0]))
         test_metrics.update(metrics, weight)
         fps = est_labels.shape[0] / max(toc - tic, 1e-9)

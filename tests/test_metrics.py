@@ -97,3 +97,17 @@ def test_dilate_disk_equals_structure_dilation():
         for r in (1, 4, 9):
             ref = scipy.ndimage.binary_dilation(b, structure=_disk(r))
             np.testing.assert_array_equal(_dilate_disk(b, r), ref)
+
+
+def test_metrics_get_parallel_matches_serial():
+    """Frame-parallel scoring must be bit-identical to serial (results are
+    collected in frame order; the mean reduction sees the same sequence)."""
+    from rmnet_tpu.utils.metrics import Metrics
+
+    rs = np.random.RandomState(5)
+    gt = rs.randint(0, 4, (6, 60, 90)).astype(np.uint8)
+    pred = gt.copy()
+    pred[:, 10:30, 20:50] = rs.randint(0, 4, (6, 20, 30))
+    serial = Metrics.get(pred, gt)
+    parallel = Metrics.get(pred, gt, n_workers=4)
+    assert serial == parallel
