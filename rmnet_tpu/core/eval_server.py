@@ -189,22 +189,36 @@ def _make_eval_worker(cfg, dataset):
                 else:
                     engine.update_weights(rm_vars, tfn_vars)
                 in_engine = True
-                return test_net(cfg, -1, loader, None, engine)
+                result = test_net(cfg, -1, loader, None, engine)
+                if attempt == 1:
+                    logging.warning(
+                        "%s scored on the dense read after a flash-engine "
+                        "failure; device %s stays dense for this server",
+                        path, device,
+                    )
+                return result
             except Exception as ex:  # bad checkpoint: score None, keep serving
                 logging.exception(ex)
                 engine = engines.get(device)
                 if (attempt == 0 and in_engine and engine is not None
-                        and engine._flash_enabled()):
+                        and engine._flash_enabled() and flash_default):
                     # a Mosaic/flash failure during the run would poison the
                     # persistent engine for every later checkpoint — drop it
                     # and retry this checkpoint once on the dense XLA read.
-                    # (A checkpoint-load failure raises BEFORE in_engine and
+                    # Only when flash was on BY DEFAULT: an explicit
+                    # RMNET_FLASH=1 is never silently overridden. (A
+                    # checkpoint-load failure raises BEFORE in_engine and
                     # keeps the compiled engine.)
                     logging.warning(
                         "retrying %s with the dense memory read", path
                     )
                     engines.pop(device, None)
                     continue
+                if attempt == 1:
+                    # the dense retry ALSO failed: the checkpoint (not the
+                    # flash kernel) was at fault — drop the dense engine so
+                    # the next checkpoint gets the flash default back
+                    engines.pop(device, None)
                 return None
 
     return work

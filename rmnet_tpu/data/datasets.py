@@ -19,7 +19,7 @@ from typing import Any, Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from rmnet_tpu.data.io import IO
-from rmnet_tpu.data.rng import pyrand, seed_stream
+from rmnet_tpu.data.rng import clear_stream, pyrand, seed_stream
 from rmnet_tpu.data import transforms as T
 
 
@@ -435,6 +435,11 @@ class DataLoader:
         self.n_workers = n_workers
         self.n_prefetch_threads = n_prefetch_threads
         self.rng = random.Random(seed)
+        # decode-stream bases come from a SEPARATE rng so the shuffle
+        # stream (self.rng) is identical across framework versions
+        self._decode_rng = random.Random(
+            None if seed is None else (int(seed) ^ 0x5EED5EED)
+        )
 
     def __len__(self):
         n = len(self.dataset)
@@ -458,15 +463,20 @@ class DataLoader:
         ]
         if self.drop_last:
             batches = [b for b in batches if len(b) == self.batch_size]
-        # per-epoch base for the per-batch decode RNG streams (drawn AFTER
-        # the shuffle so shuffle sequences are unchanged across versions).
-        # Decoded data then depends only on (loader seed, epoch, batch
-        # index) — identical for any worker count or thread scheduling.
-        epoch_seed = self.rng.getrandbits(31)
+        # per-epoch base for the per-batch decode RNG streams (a dedicated
+        # rng, so the shuffle stream is untouched). Decoded data then
+        # depends only on (loader seed, epoch, batch index) — identical
+        # for any worker count or thread scheduling.
+        epoch_seed = self._decode_rng.getrandbits(31)
 
         def decode(bi, b):
             seed_stream(epoch_seed * 1000003 + bi)
-            return self.collate([self.dataset[i] for i in b])
+            try:
+                return self.collate([self.dataset[i] for i in b])
+            finally:
+                # never leak the seeded stream to the caller's thread (the
+                # synchronous path decodes on the consumer thread)
+                clear_stream()
 
         n_workers = int(self.n_workers)
         if n_workers <= 0:

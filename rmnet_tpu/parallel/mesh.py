@@ -46,6 +46,12 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+# jitted spatial programs, keyed by (apply config, mesh) — RMNetApply is a
+# frozen-style dataclass and Mesh is hashable, so repeated serving calls
+# reuse the compiled GSPMD executable
+_SPATIAL_FNS: dict = {}
+
+
 def spatial_sharding(mesh: Mesh, ndim: int, w_axis: int,
                      axis_name: str = "space") -> NamedSharding:
     """Sharding that splits a tensor's width axis across the mesh."""
@@ -67,20 +73,26 @@ def spatial_forward_video(apply, variables, frames, masks, optical_flows,
 
     Weights are replicated; inputs follow RMNetApply.forward_video
     (rmnet.py:814-821). Returns est_masks gathered to the host layout.
+    The jitted program is cached per (apply config, mesh): repeated calls
+    (a serving loop over videos) retrace nothing and recompile only on a
+    new input geometry.
     """
     mesh = mesh or make_mesh(n_devices, axis_name="space")
-    axis = mesh.axis_names[0]
-    shard_w = lambda nd, w: spatial_sharding(mesh, nd, w, axis)
-    fn = jax.jit(
-        apply.forward_video,
-        in_shardings=(
-            NamedSharding(mesh, P()),   # weights replicated
-            shard_w(5, 3),              # frames  (B, T, H, W, 3)
-            shard_w(5, 4),              # masks   (B, T, K, H, W)
-            shard_w(5, 3),              # flows   (B, T, H, W, 2)
-            NamedSharding(mesh, P()),   # n_objects
-        ),
-        out_shardings=NamedSharding(mesh, P()),
-    )
+    key = (apply, mesh)
+    fn = _SPATIAL_FNS.get(key)
+    if fn is None:
+        axis = mesh.axis_names[0]
+        shard_w = lambda nd, w: spatial_sharding(mesh, nd, w, axis)
+        fn = _SPATIAL_FNS[key] = jax.jit(
+            apply.forward_video,
+            in_shardings=(
+                NamedSharding(mesh, P()),   # weights replicated
+                shard_w(5, 3),              # frames  (B, T, H, W, 3)
+                shard_w(5, 4),              # masks   (B, T, K, H, W)
+                shard_w(5, 3),              # flows   (B, T, H, W, 2)
+                NamedSharding(mesh, P()),   # n_objects
+            ),
+            out_shardings=NamedSharding(mesh, P()),
+        )
     with mesh:
         return fn(variables, frames, masks, optical_flows, n_objects)

@@ -192,3 +192,15 @@ def test_random_affine_pipeline_consistency(davis_cfg):
     _, n_objects, frames, masks, flows = ds[0]
     assert frames.shape[1:] == (48, 48, 3)
     assert np.isfinite(flows).all()
+
+
+def test_dataloader_does_not_leak_seeded_stream(davis_cfg):
+    """After iterating (sync path decodes on the consumer thread), the
+    thread's RNG stream must revert to the process-global modules."""
+    from rmnet_tpu.data.rng import pyrand
+
+    import random as _random
+
+    ds = DatasetCollector.get_dataset(davis_cfg, ["DAVIS"], DatasetSubset.TRAIN)
+    list(DataLoader(ds, batch_size=2, shuffle=True, seed=1, n_workers=0))
+    assert pyrand() is _random

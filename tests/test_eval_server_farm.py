@@ -275,3 +275,56 @@ def test_farm_worker_falls_back_to_dense_on_flash_failure(tmp_path, monkeypatch)
                         lambda *a: (_ for _ in ()).throw(IOError("corrupt")))
     assert work(device, None, path) is None
     assert constructed == [True, False]  # no engine was rebuilt
+
+
+def test_farm_worker_flash_fallback_policies(tmp_path, monkeypatch):
+    """(a) An explicit RMNET_FLASH=1 is never silently downgraded to dense.
+    (b) If the dense retry ALSO fails, the checkpoint was at fault: the
+    dense engine is dropped so the next checkpoint gets flash back."""
+    import rmnet_tpu.core.eval_server as es
+
+    cfg = Config()
+    _, _, rm_vars, tfn_vars = build_models(cfg, 0)
+    ckpt_dir = str(tmp_path / "ckpts")
+    path = save_checkpoint(ckpt_dir, "ckpt-epoch-000", {
+        "epoch": 0, "best_metrics": None,
+        "rmnet": rm_vars, "tflownet": tfn_vars, "opt_state": None,
+    })
+
+    constructed = []
+
+    class FakeEngine:
+        def __init__(self, *a, **k):
+            self.flash_arg = k.get("use_flash_attention")
+            constructed.append(self.flash_arg)
+
+        def _flash_enabled(self):
+            # explicit-env case: pref None -> env "1" -> enabled
+            return bool(self.flash_arg) or (
+                self.flash_arg is None and os.environ.get("RMNET_FLASH") == "1"
+            )
+
+        def update_weights(self, *a):
+            pass
+
+    monkeypatch.setattr(es, "InferenceEngine", FakeEngine)
+    monkeypatch.setattr(es, "DataLoader", lambda *a, **k: [])
+
+    # (a) explicit env: failure must NOT trigger a dense rebuild
+    monkeypatch.setenv("RMNET_FLASH", "1")
+    monkeypatch.setattr(es, "test_net",
+                        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("x")))
+    work = es._make_eval_worker(cfg, [])
+    device = jax.devices()[0]
+    assert work(device, None, path) is None
+    assert constructed == [None]  # pref defers to env; no forced-dense rebuild
+
+    # (b) default flash: both attempts fail -> engine dropped, next call
+    # constructs a fresh flash-default engine
+    monkeypatch.delenv("RMNET_FLASH", raising=False)
+    constructed.clear()
+    work = es._make_eval_worker(cfg, [])
+    assert work(device, None, path) is None
+    assert constructed == [True, False]  # flash try, dense retry
+    assert work(device, None, path) is None
+    assert constructed == [True, False, True, False]  # flash restored

@@ -82,3 +82,15 @@ def test_spatial_partition_matches_single_device():
         jnp.asarray(flows), jnp.asarray(n_objects), mesh=mesh,
     ))
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+    # repeated serving calls reuse ONE cached jitted program per
+    # (apply, mesh) — no per-call retrace
+    from rmnet_tpu.parallel import mesh as mesh_mod
+
+    n_cached = len(mesh_mod._SPATIAL_FNS)
+    out2 = np.asarray(spatial_forward_video(
+        apply, rm_vars, jnp.asarray(frames), jnp.asarray(masks),
+        jnp.asarray(flows), jnp.asarray(n_objects), mesh=mesh,
+    ))
+    assert len(mesh_mod._SPATIAL_FNS) == n_cached
+    np.testing.assert_array_equal(out2, out)
