@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import logging
 import os
+import re
 import shutil
 import time
 from typing import Dict, Optional, Set
@@ -88,20 +89,37 @@ def eval_server(cfg, ckpt_dir: str, poll_seconds: float = 15.0,
     farm = None
     iteration = 0
 
-    def record(path, metrics, tick):
+    def _ckpt_step(path):
+        # TB step = the checkpoint's own number (ckpt-epoch-NNN), not the
+        # harvest tick: async completion order must not scramble the curve
+        m = re.search(r"(\d+)(?!.*\d)", os.path.basename(path))
+        return int(m.group(1)) if m else len(scores)
+
+    def record(path, metrics):
         nonlocal best_path
         if metrics is None:  # skip bad checkpoints, keep serving
             return
         scores[path] = metrics
         jf = metrics.state_dict()[cfg.TEST.MAIN_METRIC_NAME]
-        writer.add_scalar("EvalServer/%s" % cfg.TEST.MAIN_METRIC_NAME, jf, tick)
+        writer.add_scalar(
+            "EvalServer/%s" % cfg.TEST.MAIN_METRIC_NAME, jf, _ckpt_step(path)
+        )
         logging.info("Evaluated %s: %s", os.path.basename(path), metrics)
-        if best_path is None or metrics.better_than(scores.get(best_path)):
+        # deterministic best: strictly-greater wins; an exact tie goes to
+        # the lexicographically-earlier path, so async completion order
+        # cannot change which file keep_best_only leaves on disk
+        cur = scores.get(best_path) if best_path is not None else None
+        if cur is None:
             best_path = path
+        else:
+            cur_jf = cur.state_dict()[cfg.TEST.MAIN_METRIC_NAME]
+            if jf > cur_jf or (jf == cur_jf and path < best_path):
+                best_path = path
 
     def harvest(tick):
+        del tick
         for path in [p for p, f in pending.items() if f.done()]:
-            record(path, pending.pop(path).result(), tick)
+            record(path, pending.pop(path).result())
 
     def prune():
         # keep only the best checkpoint on disk
@@ -143,7 +161,7 @@ def eval_server(cfg, ckpt_dir: str, poll_seconds: float = 15.0,
     )
     for path, future in pending.items():
         if path not in cancelled:
-            record(path, future.result(), iteration)
+            record(path, future.result())
     prune()
     if farm is not None:
         farm.shutdown()

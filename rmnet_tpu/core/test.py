@@ -61,6 +61,7 @@ def test_net(
 
 def _test_videos(cfg, epoch_idx, test_data_loader, test_writer, engine,
                  n_videos, test_metrics, fps_meter) -> Metrics:
+    n_attempted = n_scored = 0
     for idx, (names, n_objects, frames, masks, flows) in enumerate(test_data_loader):
         # in-training validation only visits the selected subset
         # (reference core/test.py:71-72)
@@ -68,6 +69,7 @@ def _test_videos(cfg, epoch_idx, test_data_loader, test_writer, engine,
             continue
         video_name = names[0]
         single_scale = tuple(cfg.TEST.FRAME_SCALES) == (1.0,) and not cfg.TEST.FLIP_LR
+        n_attempted += 1
         try:
             tic = time.time()
             if epoch_idx == -1 and not single_scale:
@@ -84,6 +86,7 @@ def _test_videos(cfg, epoch_idx, test_data_loader, test_writer, engine,
             logging.exception(ex)
             continue
 
+        n_scored += 1
         gt_labels = masks[0].argmax(axis=1)
         metrics = Metrics.get(est_labels, gt_labels,
                               n_workers=cfg.CONST.N_WORKERS)
@@ -110,6 +113,14 @@ def _test_videos(cfg, epoch_idx, test_data_loader, test_writer, engine,
             idx + 1, n_videos, video_name, fps, ["%.4f" % m for m in metrics],
         )
 
+    if n_attempted > 0 and n_scored == 0:
+        # every single video failed: the ENGINE is broken (e.g. a Mosaic
+        # kernel failure), not one flaky video — raise instead of quietly
+        # returning 0.0 scores, so callers (the eval farm's dense-read
+        # fallback) can react
+        raise RuntimeError(
+            f"all {n_attempted} videos failed to evaluate — engine broken?"
+        )
     logging.info(
         "[Test Summary] FPS = %.2f Metrics = %s",
         fps_meter.avg(), ["%.4f" % m for m in test_metrics.avg()],

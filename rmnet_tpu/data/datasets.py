@@ -429,7 +429,10 @@ class DataLoader:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
-        # back-compat: n_prefetch_threads<=0 historically meant "synchronous"
+        # back-compat only: n_prefetch_threads<=0 historically meant
+        # "synchronous"; beyond deriving that default it is LEGACY and
+        # unread — the worker pool and in-flight window are driven solely
+        # by n_workers
         if n_workers is None:
             n_workers = 1 if n_prefetch_threads > 0 else 0
         self.n_workers = n_workers

@@ -538,6 +538,12 @@ class RMNetApply:
             expt = jnp.concatenate(
                 [jnp.zeros_like(prev_mask[:, :1]), warped.transpose(0, 3, 1, 2)], axis=1
             )
+        elif self.warp_u8:
+            # serving override without bg-skip: still honor the 1-gather
+            # u8 sampler (forward-only by contract), warping ALL K channels
+            m_img = prev_mask.transpose(0, 2, 3, 1)  # (B, H, W, K)
+            warped, _ = warp_fn(m_img, flow)
+            expt = warped.transpose(0, 3, 1, 2)
         else:
             # training: warp ALL K channels (straight-through grad invariant)
             # via the fused warp+att op — its custom VJP exploits that the

@@ -160,3 +160,29 @@ def test_tinyflownet_train_step():
     assert np.isfinite(float(loss))
     p2 = jax.tree_util.tree_leaves(params)[0]
     assert not np.allclose(np.asarray(p1), np.asarray(p2))  # params moved
+
+
+def test_test_net_raises_when_every_video_fails():
+    """Wholesale engine breakage must raise, not return silent 0.0 scores
+    (feeds the eval farm's dense-read fallback)."""
+    import pytest as _pytest
+
+    from rmnet_tpu.core.test import _test_videos
+    from rmnet_tpu.utils.average_meter import AverageMeter
+    from rmnet_tpu.utils.metrics import Metrics
+
+    cfg = Config()
+
+    class BrokenEngine:
+        def run_video_labels(self, *a, **k):
+            raise RuntimeError("mosaic boom")
+
+    loader = [(
+        ["v0"], np.array([[1, 1]]),
+        np.zeros((1, 2, 16, 16, 3), np.float32),
+        np.zeros((1, 2, 3, 16, 16), np.uint8),
+        np.zeros((1, 2, 16, 16, 2), np.float32),
+    )]
+    with _pytest.raises(RuntimeError, match="engine broken"):
+        _test_videos(cfg, -1, loader, None, BrokenEngine(), 1,
+                     AverageMeter(Metrics.names()), AverageMeter(["fps"]))

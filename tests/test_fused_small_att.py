@@ -207,3 +207,28 @@ def test_shared_stem_memory_encode_matches_per_object():
     k_sh, v_sh = model.apply(vars_, f, m, o, method="encode_memory_shared")
     np.testing.assert_allclose(np.asarray(k_sh), np.asarray(k_ref), rtol=0, atol=1e-5)
     np.testing.assert_allclose(np.asarray(v_sh), np.asarray(v_ref), rtol=0, atol=1e-5)
+
+
+def test_warp_u8_honored_without_skip_bg():
+    """warp_u8=True must route through the 1-gather u8 sampler even when
+    skip_bg_warp=False (override configs): output equals the
+    warp_u8+skip_bg path exactly — slot 0 never reaches the bbox op either
+    way — and uses the quantized (not exact) sampler."""
+    from rmnet_tpu.models.rmnet import RMNet, RMNetApply
+
+    rs = np.random.RandomState(7)
+    B, K, H, W = 1, 3, 41, 67
+    prev = rs.rand(B, K, H, W).astype(np.float32)
+    prev /= prev.sum(1, keepdims=True)
+    flow = (rs.rand(B, H, W, 2).astype(np.float32) - 0.5) * 9.0
+
+    lw, uw, lh, uh = divide_pads(H, W, 16)
+    out_hw = ((H + lh + uh) // 16, (W + lw + uw) // 16)
+
+    u8_noskip = RMNetApply(RMNet(), warp_u8=True, skip_bg_warp=False)
+    u8_skip = RMNetApply(RMNet(), warp_u8=True, skip_bg_warp=True)
+    a = np.asarray(u8_noskip.get_att_small(
+        jnp.asarray(prev), jnp.asarray(flow), out_hw, (lh, lw)))
+    b = np.asarray(u8_skip.get_att_small(
+        jnp.asarray(prev), jnp.asarray(flow), out_hw, (lh, lw)))
+    np.testing.assert_array_equal(a, b)
