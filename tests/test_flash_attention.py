@@ -173,3 +173,30 @@ def test_flash_all_slots_invalid_outputs_zero():
     mem = np.asarray(out_flash)[..., :64]
     assert np.all(np.isfinite(mem))
     np.testing.assert_array_equal(mem, np.zeros_like(mem))
+
+
+def test_flash_block_sparse_fuzz_geometries():
+    """Block-sparse read == dense read across random geometries (unaligned
+    h*w vs the memory tile, varying S/N/box sizes, degenerate 1-px boxes)."""
+    rs = np.random.RandomState(11)
+    for trial in range(6):
+        N = int(rs.randint(1, 3))
+        S = int(rs.randint(1, 7))
+        h = int(rs.randint(3, 12))
+        w = int(rs.randint(3, 20))
+        mk, mv, qk, qv, valid, bboxes = _boxed_case(
+            N, S, h, w, 128, 128, seed=100 + trial
+        )
+        out_ref, _ = memory_read(
+            jnp.asarray(mk), jnp.asarray(mv), jnp.asarray(qk),
+            jnp.asarray(qv), jnp.asarray(valid),
+        )
+        out_flash, _ = memory_read_flash(
+            jnp.asarray(mk), jnp.asarray(mv), jnp.asarray(qk),
+            jnp.asarray(qv), jnp.asarray(valid),
+            bboxes=jnp.asarray(bboxes), interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_flash), np.asarray(out_ref), rtol=2e-4, atol=2e-4,
+            err_msg=f"trial={trial} N={N} S={S} h={h} w={w}",
+        )
