@@ -168,3 +168,39 @@ def test_nll_neg_inf_off_label_columns():
     labels2 = np.array([0, 1, 255])
     j2 = float(nll_loss(jnp.asarray(logp2), jnp.asarray(labels2), 255))
     assert math.isclose(j2, golden, rel_tol=1e-6)
+
+
+def test_lovasz_gradient_fuzz_vs_torch():
+    """Custom-VJP gradient == torch autograd across random shapes, void
+    densities, and missing-class patterns (the single-config grad test
+    can miss permutation edge cases in the keyed-sort backward)."""
+    import jax
+
+    rng = np.random.RandomState(42)
+    for trial in range(5):
+        B = int(rng.randint(1, 3))
+        C = int(rng.randint(2, 5))
+        FF = int(rng.randint(1, 3))
+        H = int(rng.randint(5, 14))
+        W = int(rng.randint(5, 14))
+        logits = rng.rand(B, C, FF, H, W).astype(np.float32)
+        probs_t = torch.softmax(torch.from_numpy(logits), dim=1).detach()
+        probs_t.requires_grad_(True)
+        # labels drawn from a SUBSET of classes (some classes absent), with
+        # random void pixels
+        hi = int(rng.randint(1, C + 1))
+        labels = rng.randint(0, hi, size=(B, FF, H, W)).astype(np.int64)
+        void = rng.rand(B, FF, H, W) < rng.choice([0.0, 0.1, 0.5])
+        labels[void] = 255
+        torch_lovasz(probs_t, torch.from_numpy(labels)).backward()
+        golden = probs_t.grad.numpy()
+
+        grad_fn = jax.grad(
+            lambda p: lovasz_loss(p, jnp.asarray(labels), ignore_index=255)
+        )
+        j = np.asarray(grad_fn(jnp.asarray(
+            probs_t.detach().numpy().transpose(0, 2, 3, 4, 1))))
+        np.testing.assert_allclose(
+            j, golden.transpose(0, 2, 3, 4, 1), rtol=1e-4, atol=1e-6,
+            err_msg=f"trial={trial} B={B} C={C} F={FF} H={H} W={W} hi={hi}",
+        )
