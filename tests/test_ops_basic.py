@@ -127,3 +127,32 @@ def test_backward_warp_zero_flow_identity():
     warped, mask = backward_warp(img, flow)
     np.testing.assert_allclose(np.asarray(warped), np.asarray(img), atol=1e-6)
     np.testing.assert_allclose(np.asarray(mask), 1.0)
+
+
+def test_backward_warp_fuzz_vs_torch():
+    """Warp parity across random shapes and flow magnitudes, including
+    large flows that push most samples out of bounds (validity-mask edge
+    cases beyond the single-config test)."""
+    rs = np.random.RandomState(6)
+    for trial in range(5):
+        B = int(rs.randint(1, 3))
+        C = int(rs.randint(1, 5))
+        H = int(rs.randint(4, 40))
+        W = int(rs.randint(4, 40))
+        mag = float(rs.choice([1.0, 10.0, 3.0 * max(H, W)]))
+        img = rs.rand(B, C, H, W).astype(np.float32)
+        flow = ((rs.rand(B, 2, H, W) - 0.5) * mag).astype(np.float32)
+        t_img, t_mask = torch_warp(torch.from_numpy(img), torch.from_numpy(flow))
+        j_img, j_mask = backward_warp(
+            jnp.asarray(img.transpose(0, 2, 3, 1)),
+            jnp.asarray(flow.transpose(0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_mask), t_mask.permute(0, 2, 3, 1).numpy(), atol=1e-6,
+            err_msg=f"trial={trial} B={B} C={C} H={H} W={W} mag={mag}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(j_img), t_img.permute(0, 2, 3, 1).numpy(),
+            rtol=1e-4, atol=1e-5,
+            err_msg=f"trial={trial} B={B} C={C} H={H} W={W} mag={mag}",
+        )
