@@ -91,10 +91,15 @@ def main():
         probs = probs / probs.sum(-1, keepdims=True)
         labels = jnp.asarray(rs.randint(0, C, (Np,)).astype(np.int32))
 
+        # CAUTION: keep n small here. Chaining fwd+bwd (two 1.8M-element
+        # variadic sorts each) through a fori_loop makes a program whose
+        # XLA compile can exceed 20 MINUTES — and killing the client
+        # mid-compile has wedged the tunneled-TPU dev setup outright
+        # (round-3 incident; the remote backend never recovered in-session)
         timed("lovasz fwd (1.84M px, C=4)",
               lambda p: lovasz_loss(p, labels), probs, n=10)
         timed("lovasz fwd+bwd",
-              lambda p: jax.grad(lambda q: lovasz_loss(q, labels))(p), probs, n=10)
+              lambda p: jax.grad(lambda q: lovasz_loss(q, labels))(p), probs, n=2)
         err = jnp.asarray(rs.rand(C, Np).astype(np.float32))
         timed("argsort (C=4 x 1.84M)",
               lambda e: jnp.argsort(-e, axis=-1).astype(jnp.float32), err, n=10)
