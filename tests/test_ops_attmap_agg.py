@@ -101,3 +101,43 @@ def test_soft_aggregation_invalid_slots_suppressed():
     # invalid object slots land exactly on the reference's magic constant
     np.testing.assert_allclose(np.asarray(logit[0, 2]), SUPPRESSED_LOGIT, rtol=1e-5)
     np.testing.assert_allclose(np.asarray(logit[0, 3]), SUPPRESSED_LOGIT, rtol=1e-5)
+
+
+def test_att_map_fuzz_vs_numpy_golden():
+    """Random masks across shapes/thresholds, including boxes clamped at
+    every border, exactly-at-threshold probabilities, and n_pts straddling
+    the whole-frame-fallback cutoff."""
+    rs = np.random.RandomState(9)
+    for trial in range(6):
+        B = int(rs.randint(1, 3))
+        K = int(rs.randint(2, 5))
+        H = int(rs.randint(20, 90))
+        W = int(rs.randint(20, 90))
+        loose = int(rs.choice([0, 3, 64]))
+        mask = np.zeros((B, K, H, W), np.float32)
+        for b in range(B):
+            for k in range(1, K):
+                kind = rs.randint(4)
+                if kind == 0:  # dense blob, random position (may hug borders)
+                    y0 = rs.randint(0, H - 1); x0 = rs.randint(0, W - 1)
+                    y1 = rs.randint(y0 + 1, H + 1); x1 = rs.randint(x0 + 1, W + 1)
+                    mask[b, k, y0:y1, x0:x1] = 0.5  # exactly at threshold
+                elif kind == 1:  # sparse: n_pts near the cutoff
+                    n = rs.randint(5, 15)
+                    ys = rs.randint(0, H, n); xs = rs.randint(0, W, n)
+                    mask[b, k, ys, xs] = 0.9
+                elif kind == 2:  # noise below threshold
+                    mask[b, k] = rs.rand(H, W) * 0.49
+                # kind 3: empty channel
+        g_att, g_box = numpy_reg_att_map(mask, loose=loose)
+        j_att, j_box = regional_attention_map(
+            jnp.asarray(mask), n_bbox_loose_pixels=loose
+        )
+        np.testing.assert_array_equal(
+            np.asarray(j_att), g_att,
+            err_msg=f"trial={trial} B={B} K={K} H={H} W={W} loose={loose}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(j_box), g_box,
+            err_msg=f"trial={trial} B={B} K={K} H={H} W={W} loose={loose}",
+        )
