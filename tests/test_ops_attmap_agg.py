@@ -141,3 +141,34 @@ def test_att_map_fuzz_vs_numpy_golden():
             np.asarray(j_box), g_box,
             err_msg=f"trial={trial} B={B} K={K} H={H} W={W} loose={loose}",
         )
+
+
+def test_soft_aggregation_fuzz_vs_torch():
+    """Aggregation parity across random K/object-counts/shapes, including
+    probabilities at exactly 0 and 1 (the clamp boundaries where the
+    f32-pinned 1-1e-7 math is load-bearing)."""
+    rs = np.random.RandomState(13)
+    for trial in range(5):
+        K = int(rs.randint(2, 7))
+        B = int(rs.randint(1, 3))
+        H = int(rs.randint(4, 20))
+        W = int(rs.randint(4, 20))
+        n_objects = [int(rs.randint(1, K)) for _ in range(B)]
+        ragged = rs.rand(sum(n_objects), H, W).astype(np.float32)
+        ragged[ragged > 0.95] = 1.0  # exact clamp boundaries
+        ragged[ragged < 0.05] = 0.0
+        golden = torch_soft_aggregation(
+            torch.from_numpy(ragged), K, n_objects
+        ).numpy()
+        ps = np.zeros((B, K, H, W), np.float32)
+        valid = np.zeros((B, K), bool)
+        ofs = 0
+        for i, n in enumerate(n_objects):
+            ps[i, 1 : n + 1] = ragged[ofs : ofs + n]
+            valid[i, 1 : n + 1] = True
+            ofs += n
+        logit = soft_aggregation(jnp.asarray(ps), jnp.asarray(valid))
+        np.testing.assert_allclose(
+            np.asarray(logit), golden, rtol=1e-4, atol=5e-4,
+            err_msg=f"trial={trial} B={B} K={K} n_objects={n_objects}",
+        )
