@@ -132,7 +132,9 @@ class InferenceEngine:
         if self._flash_enabled():
             import os
 
-            bucket = int(os.environ.get("RMNET_FLASH_BUCKET", "32"))
+            # clamp: RMNET_FLASH_BUCKET=0 would ZeroDivisionError and a
+            # negative value would yield a nonsensical capacity
+            bucket = max(1, int(os.environ.get("RMNET_FLASH_BUCKET", "32")))
             return max(bucket, -(-needed // bucket) * bucket)
         return max(8, -(-needed // 8) * 8)
 

@@ -85,6 +85,7 @@ def eval_server(cfg, ckpt_dir: str, poll_seconds: float = 15.0,
     evaluated: Set[str] = set()
     scores: Dict[str, Metrics] = {}
     pending: Dict[str, Any] = {}  # path -> Future
+    submit_idx: Dict[str, int] = {}  # path -> submission order (stable)
     best_path: Optional[str] = None
     farm = None
     iteration = 0
@@ -92,8 +93,11 @@ def eval_server(cfg, ckpt_dir: str, poll_seconds: float = 15.0,
     def _ckpt_step(path):
         # TB step = the checkpoint's own number (ckpt-epoch-NNN), not the
         # harvest tick: async completion order must not scramble the curve
+        # digit-free names fall back to the submission index recorded at
+        # submit time (scan order) — NOT len(scores), which depends on
+        # async harvest order and would scramble the curve
         m = re.search(r"(\d+)(?!.*\d)", os.path.basename(path))
-        return int(m.group(1)) if m else len(scores)
+        return int(m.group(1)) if m else submit_idx.get(path, 0)
 
     def record(path, metrics):
         nonlocal best_path
@@ -144,6 +148,7 @@ def eval_server(cfg, ckpt_dir: str, poll_seconds: float = 15.0,
         if fresh and farm is None:
             farm = _make_farm(cfg)
         for path in fresh:
+            submit_idx[path] = len(submit_idx)
             pending[path] = farm.submit(path)
         harvest(iteration)
         prune()

@@ -29,6 +29,7 @@ def test_net(
     test_data_loader: Optional[DataLoader] = None,
     test_writer=None,
     engine: Optional[InferenceEngine] = None,
+    raise_on_total_failure: bool = True,
 ) -> Metrics:
     if test_data_loader is None:
         test_data_loader = DataLoader(
@@ -56,11 +57,13 @@ def test_net(
     # (no-op otherwise) — the reference has no tracing at all (SURVEY §5)
     with trace_if():
         return _test_videos(cfg, epoch_idx, test_data_loader, test_writer,
-                            engine, n_videos, test_metrics, fps_meter)
+                            engine, n_videos, test_metrics, fps_meter,
+                            raise_on_total_failure)
 
 
 def _test_videos(cfg, epoch_idx, test_data_loader, test_writer, engine,
-                 n_videos, test_metrics, fps_meter) -> Metrics:
+                 n_videos, test_metrics, fps_meter,
+                 raise_on_total_failure=True) -> Metrics:
     n_attempted = n_scored = 0
     for idx, (names, n_objects, frames, masks, flows) in enumerate(test_data_loader):
         # in-training validation only visits the selected subset
@@ -113,11 +116,13 @@ def _test_videos(cfg, epoch_idx, test_data_loader, test_writer, engine,
             idx + 1, n_videos, video_name, fps, ["%.4f" % m for m in metrics],
         )
 
-    if n_attempted > 0 and n_scored == 0:
+    if n_attempted > 0 and n_scored == 0 and raise_on_total_failure:
         # every single video failed: the ENGINE is broken (e.g. a Mosaic
         # kernel failure), not one flaky video — raise instead of quietly
         # returning 0.0 scores, so callers (the eval farm's dense-read
-        # fallback) can react
+        # fallback) can react. In-training validation passes
+        # raise_on_total_failure=False so a transient val failure logs
+        # and continues instead of aborting a long training run.
         raise RuntimeError(
             f"all {n_attempted} videos failed to evaluate — engine broken?"
         )

@@ -330,7 +330,8 @@ def train_net(cfg):
             val_engine = InferenceEngine(cfg, rm_vars, tfn_vars)
         else:
             val_engine.update_weights(rm_vars, tfn_vars)
-        metrics = test_net(cfg, epoch_idx, val_loader, val_writer, val_engine)
+        metrics = test_net(cfg, epoch_idx, val_loader, val_writer, val_engine,
+                           raise_on_total_failure=False)
         if metrics.state_dict()[cfg.TEST.MAIN_METRIC_NAME] > cfg.TRAIN.KEEP_FRAME_STEPS_THRESHOLD:
             last_keep_epoch = epoch_idx
 

@@ -129,11 +129,15 @@ class AsyncDeviceFarm:
                 continue
             try:
                 future.set_result(self.work_fn(device, replica, item))
-            except Exception:
+            except BaseException as ex:
+                # BaseException too: an unresolved future would block
+                # eval_server's drain loop forever on future.result()
                 import logging
 
                 logging.exception("AsyncDeviceFarm worker failed on %r", item)
                 future.set_result(None)
+                if isinstance(ex, (KeyboardInterrupt, SystemExit)):
+                    raise
 
     def submit(self, item: Any) -> Future:
         """Enqueue an item; returns immediately with a Future."""
