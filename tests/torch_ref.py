@@ -268,6 +268,27 @@ def reg_att_map_t(mask, prob_threshold=0.5, n_pts_threshold=10, loose=64):
     return torch.from_numpy(att), torch.from_numpy(box)
 
 
+class _RegAttMapST(torch.autograd.Function):
+    """Straight-through wrapper of the bbox/att-map op: backward returns
+    CONSTANT ONES to the mask, ignoring the upstream cotangent (reference
+    extensions/reg_att_map_generator/__init__.py:14-24). Forward is
+    identical to reg_att_map_t, so forward-only tests are unaffected."""
+
+    @staticmethod
+    def forward(ctx, mask, n_pts_threshold, loose):
+        att, box = reg_att_map_t(mask, n_pts_threshold=n_pts_threshold, loose=loose)
+        ctx.mark_non_differentiable(box)
+        return att, box
+
+    @staticmethod
+    def backward(ctx, grad_att_map, grad_bbox):
+        return torch.ones(grad_att_map.size()).float(), None, None
+
+
+def reg_att_map_st(mask, n_pts_threshold=10, loose=64):
+    return _RegAttMapST.apply(mask, n_pts_threshold, loose)
+
+
 def warp_t(img0, flow):
     B, C, H, W = img0.size()
     xg = torch.arange(0, W).view(1, -1).repeat(H, 1)
@@ -330,7 +351,7 @@ class RMNetT(nn.Module):
         r4 = self.encoder_memory(f, m, o)[0]
         k4, v4 = self.kv_memory(r4)
         k4, v4 = self.pad_memory([k4, v4], n_objects, K)
-        att, box = reg_att_map_t(masks, n_pts_threshold=self.n_pts, loose=self.loose)
+        att, box = reg_att_map_st(masks, n_pts_threshold=self.n_pts, loose=self.loose)
         att = F.interpolate(att, scale_factor=1 / 16).unsqueeze(2).unsqueeze(2)
         return k4 * att, v4 * att, box
 
@@ -399,7 +420,7 @@ class RMNetT(nn.Module):
             if t - 1 in to_mem or t - 1 in new_at:
                 keys, values = tk, tv
             warped, _ = warp_t(prev_mask, optical_flows[:, t])
-            att, _ = reg_att_map_t(warped, n_pts_threshold=self.n_pts, loose=self.loose)
+            att, _ = reg_att_map_st(warped, n_pts_threshold=self.n_pts, loose=self.loose)
             logit = self.segment(frames[:, t], att, tk, tv, n_max)
             if t in new_at:
                 for i in range(B):
