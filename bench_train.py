@@ -35,6 +35,7 @@ def main():
     from rmnet_tpu.models.rmnet import RMNetApply
 
     bf16 = "--bf16" in sys.argv
+    flash = "--flash" in sys.argv  # block-sparse read in the train step
     B = int(os.environ.get("BENCH_TRAIN_BATCH", "4"))
     T = int(os.environ.get("BENCH_TRAIN_FRAMES", "3"))
     K = int(os.environ.get("BENCH_TRAIN_OBJECTS", "3")) + 1
@@ -45,6 +46,7 @@ def main():
 
     cfg = Config()
     cfg.TRAIN.BF16 = bf16
+    cfg.TRAIN.FLASH_ATTENTION = flash
     dtype = jnp.bfloat16 if bf16 else None
     rmnet, tflownet, rm_vars, tfn_vars = build_models(cfg, 0, dtype)
     apply = RMNetApply(rmnet, memorize_every=cfg.TRAIN.MEMORIZE_EVERY)
@@ -117,7 +119,7 @@ def main():
     print(json.dumps({
         "metric": f"train step B={B} T={T} K={K - 1}obj {HW}x{HW} "
                   f"{'bf16' if bf16 else 'f32'} (fwd scan + BPTT + Adam, "
-                  f"remat={remat}"
+                  f"remat={remat}" + (", flash" if flash else "")
                   + (f", loss={loss_sel}" if loss_sel != "both" else "") + ")",
         "value": round(sec, 4),
         "unit": "s/step",

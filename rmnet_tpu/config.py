@@ -142,6 +142,11 @@ class Train:
     # interiors in the backward pass (fastest that fits reference scale),
     # "step" recomputes whole frames (smallest memory), "none" saves all
     REMAT: str = "encoders"
+    # block-sparse Pallas memory read in the TRAIN step too (the custom-VJP
+    # flash backward; ops/flash_attention.py). Off by default: the dense
+    # XLA read is the portable reference path (and CPU tests can't compile
+    # Mosaic kernels); flip on for TPU training runs.
+    FLASH_ATTENTION: bool = False
     RESUME_FULL_STATE: bool = True  # restore epoch + optimizer (the
     # reference notably restarts its schedule on resume, core/train.py:85-98)
 

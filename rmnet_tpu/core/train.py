@@ -68,16 +68,14 @@ def cosine_lr(base_lr: float, epoch: int, n_epochs: int) -> float:
     return base_lr * 0.5 * (1.0 + np.cos(np.pi * epoch / n_epochs))
 
 
-def make_train_step(cfg, apply: RMNetApply, tflownet, optimizer,
-                    remat: Optional[str] = None):
-    """Build the jitted train step for the selected network.
+def make_loss_fn(cfg, apply: RMNetApply, tflownet,
+                 remat: Optional[str] = None):
+    """The training loss (params, extra_vars, batch) -> (loss, bn_aux).
 
-    ``remat`` (default cfg.TRAIN.REMAT): "step" recomputes whole frames in
-    the backward pass (minimum memory — the round-2 default, needed without
-    object/batch headroom); "encoders" recomputes only the two ResNet-50
-    interiors (they are the bulk of saved activations but only ~half the
-    recompute; measured ~1.3x faster at reference scale, docs/PERFORMANCE.md);
-    "none" saves everything (fastest when it fits)."""
+    Applies the remat / flash-attention training options to ``apply`` and
+    reproduces the reference objective: Lovász + NLL over frames 1..T-1 for
+    RMNet, L1 against precomputed flows for TinyFlowNet
+    (reference core/train.py:80-82,174-180)."""
     import dataclasses
 
     network = cfg.TRAIN.NETWORK
@@ -91,6 +89,12 @@ def make_train_step(cfg, apply: RMNetApply, tflownet, optimizer,
         apply = dataclasses.replace(apply, remat_encoders=True)
     elif remat not in (False, "none"):
         raise ValueError(f"unknown remat mode {remat!r}")
+    if getattr(cfg.TRAIN, "FLASH_ATTENTION", False):
+        # differentiable block-sparse read (custom-VJP flash backward):
+        # O(M) HBM traffic instead of the dense O(M*Q) affinity in BOTH
+        # passes (ops/flash_attention.py; the reference trains through the
+        # quadratic read via autograd, models/rmnet.py:143-165)
+        apply = dataclasses.replace(apply, use_flash_attention=True)
 
     def rmnet_loss(params, extra_vars, batch):
         variables = {"params": params, **extra_vars}
@@ -110,7 +114,20 @@ def make_train_step(cfg, apply: RMNetApply, tflownet, optimizer,
         est_flows = tflownet.apply(variables, batch["frames"])
         return l1_loss(est_flows, batch["flows"]), None
 
-    loss_fn = rmnet_loss if network == "RMNet" else tfn_loss
+    return rmnet_loss if network == "RMNet" else tfn_loss
+
+
+def make_train_step(cfg, apply: RMNetApply, tflownet, optimizer,
+                    remat: Optional[str] = None):
+    """Build the jitted train step for the selected network.
+
+    ``remat`` (default cfg.TRAIN.REMAT): "step" recomputes whole frames in
+    the backward pass (minimum memory — the round-2 default, needed without
+    object/batch headroom); "encoders" recomputes only the two ResNet-50
+    interiors (they are the bulk of saved activations but only ~half the
+    recompute; measured ~1.3x faster at reference scale, docs/PERFORMANCE.md);
+    "none" saves everything (fastest when it fits)."""
+    loss_fn = make_loss_fn(cfg, apply, tflownet, remat)
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, extra_vars, batch, lr):

@@ -30,8 +30,18 @@ invalid, every one of their tiles is skipped, so the engine can pad all
 banks to one bucketed capacity and compile the kernel ONCE per (h, w, K)
 geometry instead of once per bank size.
 
-Forward-only: training uses the XLA path (differentiable); the engine flips
-``RMNetApply.use_flash_attention`` on for inference.
+Differentiable: a ``jax.custom_vjp`` implements the standard recompute-based
+flash backward (probabilities rebuilt from the saved log-sum-exp, one extra
+pass over the memory tiles) with the SAME block-sparse tile skip. Skipped
+tiles need no kernel work in the backward either: on a skipped tile the
+key/value are exactly zero, so every query's probability there is the
+constant exp(-lse) and the tile's dK/dV reduce to one closed-form rank-1
+broadcast per batch row (dV_j = sum_q exp(-lse_q) dO_q and
+dK_j = -scale * sum_q exp(-lse_q) D_q q_q, identical for every valid
+position j of every skipped tile), while their dQ contribution is exactly
+zero (ds . K_j = 0). The result is the EXACT dense-path gradient whenever
+the op's contract holds (memory k/v zero outside the boxes — guaranteed by
+``memorize``), at block-sparse cost in both passes.
 """
 
 from __future__ import annotations
@@ -49,7 +59,7 @@ _NEG_INF = -1e30
 
 
 def _kernel(order_ref, active_ref, z_ref, q_ref, k_ref, v_ref, bias_ref,
-            out_ref, acc_ref, m_ref, l_ref, *, scale):
+            out_ref, lse_ref, acc_ref, m_ref, l_ref, *, scale):
     n = pl.program_id(0)
     mi = pl.program_id(1)
     n_m = pl.num_programs(1)
@@ -93,57 +103,32 @@ def _kernel(order_ref, active_ref, z_ref, q_ref, k_ref, v_ref, bias_ref,
         m = m_ref[:]
         m2 = jnp.where(z > 0, jnp.maximum(m, 0.0), m)
         alpha = jnp.exp(m - m2)
-        l = l_ref[:] * alpha + z * jnp.exp(-m2)
-        l = jnp.where(l > 0, l, 1.0)  # no valid positions at all -> output 0
+        l_raw = l_ref[:] * alpha + z * jnp.exp(-m2)
+        l = jnp.where(l_raw > 0, l_raw, 1.0)  # no valid positions -> output 0
         out_ref[0] = (acc_ref[:] * alpha / l).astype(out_ref.dtype)
+        # log-sum-exp for the recompute-based backward: the final softmax
+        # probability of position j is exp(s_j - lse). Rows with no valid
+        # positions get +inf (=> p == 0 everywhere, zero gradients).
+        lse_ref[0] = jnp.where(
+            l_raw > 0, m2 + jnp.log(l), jnp.asarray(jnp.inf, jnp.float32)
+        )
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-@functools.partial(
-    jax.jit, static_argnames=("stride", "mt", "interpret")
-)
-def flash_memory_read(
-    m_key: jnp.ndarray,      # (N, S, h, w, Ck)
-    m_val: jnp.ndarray,      # (N, S, h, w, Cv)
-    q_key: jnp.ndarray,      # (N, h, w, Ck)
-    slot_valid: jnp.ndarray, # (N, S) bool
-    bboxes: Optional[jnp.ndarray] = None,  # (N, S, 4) int32 full-res
-    stride: int = 16,
-    mt: int = 512,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Fused memory read -> (N, h, w, Cv) (without the q_val concat).
+def _tile_metadata(slot_valid, bboxes, N, S, h, w, stride, mt):
+    """Per-position validity / in-box masks + compacted tile order.
 
-    ``bboxes`` are the per-slot regional boxes in full-resolution padded
-    coordinates (x_min, x_max, y_min, y_max — the layout the bank stores,
-    ops/att_map.py::_bboxes). When given, memory positions outside a slot's
-    box are known-zero (memorize masks k/v by the /stride rasterized map)
-    and whole tiles of them are skipped. Without bboxes only invalid slots
-    are skipped.
+    Shared by the forward and backward passes (recomputed in the backward —
+    a handful of int ops on (N, S)/(N, nt) arrays, cheaper than saving).
     """
-    N, S, h, w, Ck = m_key.shape
-    Cv = m_val.shape[-1]
     hw = h * w
     M = S * hw
-    Q = hw
-
-    Qp = _round_up(Q, 8)
     Mp = _round_up(M, mt)
     nt = Mp // mt
 
-    mk = m_key.reshape(N, M, Ck)
-    mv = m_val.reshape(N, M, Cv)
-    qk = q_key.reshape(N, Q, Ck)
-    if Qp != Q:
-        qk = jnp.pad(qk, ((0, 0), (0, Qp - Q), (0, 0)))
-    if Mp != M:
-        mk = jnp.pad(mk, ((0, 0), (0, Mp - M), (0, 0)))
-        mv = jnp.pad(mv, ((0, 0), (0, Mp - M), (0, 0)))
-
-    # ---- per-position validity and possibly-nonzero ("in box") masks
     pos_valid = jnp.repeat(slot_valid, hw, axis=1)  # (N, M)
     if bboxes is None:
         in_box = pos_valid
@@ -180,12 +165,44 @@ def flash_memory_read(
     ar = jnp.arange(nt, dtype=jnp.int32)[None]
     order = jnp.where(ar < a[:, None], idx_sorted, last_active)
     active_sorted = (ar < a[:, None]).astype(jnp.int32)
+    return pos_valid, tile_active, z, order, active_sorted
+
+
+def _pad_reshape_inputs(m_key, m_val, q_key, mt):
+    N, S, h, w, Ck = m_key.shape
+    Cv = m_val.shape[-1]
+    hw = h * w
+    M = S * hw
+    Q = hw
+    Qp = _round_up(Q, 8)
+    Mp = _round_up(M, mt)
+    nt = Mp // mt
+
+    mk = m_key.reshape(N, M, Ck)
+    mv = m_val.reshape(N, M, Cv)
+    qk = q_key.reshape(N, Q, Ck)
+    if Qp != Q:
+        qk = jnp.pad(qk, ((0, 0), (0, Qp - Q), (0, 0)))
+    if Mp != M:
+        mk = jnp.pad(mk, ((0, 0), (0, Mp - M), (0, 0)))
+        mv = jnp.pad(mv, ((0, 0), (0, Mp - M), (0, 0)))
+    return (mk.reshape(N, nt, mt, Ck), mv.reshape(N, nt, mt, Cv), qk,
+            Q, Qp, M, Mp, nt)
+
+
+def _flash_fwd_impl(m_key, m_val, q_key, slot_valid, bboxes, stride, mt,
+                    interpret):
+    """Returns (out (N, h, w, Cv), lse (N, Qp, 1) f32)."""
+    N, S, h, w, Ck = m_key.shape
+    Cv = m_val.shape[-1]
+    mk, mv, qk, Q, Qp, M, Mp, nt = _pad_reshape_inputs(m_key, m_val, q_key, mt)
+    pos_valid, tile_active, z, order, active_sorted = _tile_metadata(
+        slot_valid, bboxes, N, S, h, w, stride, mt
+    )
 
     # additive bias per memory position: 0 for valid slots, -inf otherwise
     bias = jnp.where(pos_valid, 0.0, _NEG_INF).astype(jnp.float32)
     bias = bias.reshape(N, nt, 1, mt)
-    mk = mk.reshape(N, nt, mt, Ck)
-    mv = mv.reshape(N, nt, mt, Cv)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -196,21 +213,225 @@ def flash_memory_read(
             pl.BlockSpec((1, 1, mt, Cv), lambda n, mi, o, act, zz: (n, o[n, mi], 0, 0)),
             pl.BlockSpec((1, 1, 1, mt), lambda n, mi, o, act, zz: (n, o[n, mi], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, Qp, Cv), lambda n, mi, o, act, zz: (n, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((1, Qp, Cv), lambda n, mi, o, act, zz: (n, 0, 0)),
+            pl.BlockSpec((1, Qp, 1), lambda n, mi, o, act, zz: (n, 0, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((Qp, Cv), jnp.float32),
             pltpu.VMEM((Qp, 1), jnp.float32),
             pltpu.VMEM((Qp, 1), jnp.float32),
         ],
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_kernel, scale=1.0 / math.sqrt(Ck)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((N, Qp, Cv), q_key.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((N, Qp, Cv), q_key.dtype),
+            jax.ShapeDtypeStruct((N, Qp, 1), jnp.float32),
+        ],
         interpret=interpret,
     )(order, active_sorted, z, qk, mk, mv, bias)
 
-    return out[:, :Q].reshape(N, h, w, Cv)
+    return out[:, :Q].reshape(N, h, w, Cv), lse
+
+
+def _bwd_kernel(order_ref, active_ref, q_ref, k_ref, v_ref, bias_ref,
+                do_ref, lse_ref, d_ref,
+                dq_ref, dk_ref, dv_ref, dq_acc, *, scale):
+    mi = pl.program_id(1)
+    n_m = pl.num_programs(1)
+    n = pl.program_id(0)
+
+    @pl.when(mi == 0)
+    def _():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    @pl.when(active_ref[n, mi] == 1)
+    def _():
+        q = q_ref[0]          # (Qp, Ck)
+        k = k_ref[0, 0]       # (MT, Ck)
+        v = v_ref[0, 0]       # (MT, Cv)
+        bias = bias_ref[0, 0]  # (1, MT)
+        do = do_ref[0]        # (Qp, Cv)
+        lse = lse_ref[0]      # (Qp, 1) f32
+        dvec = d_ref[0]       # (Qp, 1) f32 = rowsum(dO * O)
+
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale + bias  # (Qp, MT)
+        p = jnp.exp(s - lse)  # final softmax probs, recomputed exactly
+
+        # dV_tile = P^T dO
+        dv_ref[0, 0] = jax.lax.dot_general(
+            p.astype(v.dtype), do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+
+        # dS = P * (dO V^T - D)
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Qp, MT)
+        ds = p * (dp - dvec)  # (Qp, MT) f32
+
+        dk_ref[0, 0] = (jax.lax.dot_general(
+            ds.astype(q.dtype), q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(dk_ref.dtype)
+
+        dq_acc[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(mi == n_m - 1)
+    def _():
+        dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_impl(m_key, m_val, q_key, slot_valid, bboxes, lse, out, g,
+                    stride, mt, interpret):
+    N, S, h, w, Ck = m_key.shape
+    Cv = m_val.shape[-1]
+    hw = h * w
+    mk, mv, qk, Q, Qp, M, Mp, nt = _pad_reshape_inputs(m_key, m_val, q_key, mt)
+    pos_valid, tile_active, z, order, active_sorted = _tile_metadata(
+        slot_valid, bboxes, N, S, h, w, stride, mt
+    )
+    bias = jnp.where(pos_valid, 0.0, _NEG_INF).astype(jnp.float32)
+    bias_t = bias.reshape(N, nt, 1, mt)
+    scale = 1.0 / math.sqrt(Ck)
+
+    do = g.reshape(N, Q, Cv)
+    o2 = out.reshape(N, Q, Cv)
+    # D = rowsum(dO * O) — the softmax-backward correction term
+    dvec = jnp.sum(do.astype(jnp.float32) * o2.astype(jnp.float32),
+                   axis=-1, keepdims=True)  # (N, Q, 1)
+    if Qp != Q:
+        do = jnp.pad(do, ((0, 0), (0, Qp - Q), (0, 0)))
+        dvec = jnp.pad(dvec, ((0, 0), (0, Qp - Q), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N, nt),
+        in_specs=[
+            pl.BlockSpec((1, Qp, Ck), lambda n, mi, o, act: (n, 0, 0)),
+            pl.BlockSpec((1, 1, mt, Ck), lambda n, mi, o, act: (n, o[n, mi], 0, 0)),
+            pl.BlockSpec((1, 1, mt, Cv), lambda n, mi, o, act: (n, o[n, mi], 0, 0)),
+            pl.BlockSpec((1, 1, 1, mt), lambda n, mi, o, act: (n, o[n, mi], 0, 0)),
+            pl.BlockSpec((1, Qp, Cv), lambda n, mi, o, act: (n, 0, 0)),
+            pl.BlockSpec((1, Qp, 1), lambda n, mi, o, act: (n, 0, 0)),
+            pl.BlockSpec((1, Qp, 1), lambda n, mi, o, act: (n, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, Qp, Ck), lambda n, mi, o, act: (n, 0, 0)),
+            pl.BlockSpec((1, 1, mt, Ck), lambda n, mi, o, act: (n, o[n, mi], 0, 0)),
+            pl.BlockSpec((1, 1, mt, Cv), lambda n, mi, o, act: (n, o[n, mi], 0, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((Qp, Ck), jnp.float32)],
+    )
+    dq, dk_t, dv_t = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((N, Qp, Ck), q_key.dtype),
+            jax.ShapeDtypeStruct((N, nt, mt, Ck), m_key.dtype),
+            jax.ShapeDtypeStruct((N, nt, mt, Cv), m_val.dtype),
+        ],
+        interpret=interpret,
+    )(order, active_sorted, qk, mk, mv, bias_t, do, lse, dvec)
+
+    # ---- closed-form gradients of the skipped tiles. Every valid position
+    # of a skipped tile has k = 0, v = 0 and softmax prob exp(-lse), so
+    #   dV_j = sum_q exp(-lse_q) dO_q       (one (Cv,) vector per row)
+    #   dK_j = -scale sum_q exp(-lse_q) D_q q_q   (one (Ck,) vector per row)
+    # and the dQ contribution is exactly zero (ds . k = 0).
+    c = jnp.exp(-lse[:, :, 0]).astype(jnp.float32)  # (N, Qp); 0 if lse=+inf
+    dof = do.astype(jnp.float32)
+    qf = qk.astype(jnp.float32)
+    dv_skip = jnp.einsum("nq,nqv->nv", c, dof)                     # (N, Cv)
+    dk_skip = -scale * jnp.einsum("nq,nqc->nc", c * dvec[:, :, 0], qf)
+
+    # merge: kernel results on active tiles; rank-1 broadcasts on skipped
+    # valid positions; zero on invalid/padded positions
+    act_pos = jnp.repeat(tile_active, mt, axis=1)  # (N, Mp)
+    dk_full = jnp.where(
+        act_pos[:, :, None], dk_t.reshape(N, Mp, Ck).astype(jnp.float32),
+        jnp.where(pos_valid[:, :, None], dk_skip[:, None, :], 0.0),
+    )
+    dv_full = jnp.where(
+        act_pos[:, :, None], dv_t.reshape(N, Mp, Cv).astype(jnp.float32),
+        jnp.where(pos_valid[:, :, None], dv_skip[:, None, :], 0.0),
+    )
+
+    dmk = dk_full[:, :M].reshape(m_key.shape).astype(m_key.dtype)
+    dmv = dv_full[:, :M].reshape(m_val.shape).astype(m_val.dtype)
+    dqk = dq[:, :Q].reshape(q_key.shape).astype(q_key.dtype)
+    return dmk, dmv, dqk
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_core(m_key, m_val, q_key, slot_valid, bboxes, stride, mt,
+                interpret):
+    out, _ = _flash_fwd_impl(m_key, m_val, q_key, slot_valid, bboxes,
+                             stride, mt, interpret)
+    return out
+
+
+def _flash_core_fwd(m_key, m_val, q_key, slot_valid, bboxes, stride, mt,
+                    interpret):
+    out, lse = _flash_fwd_impl(m_key, m_val, q_key, slot_valid, bboxes,
+                               stride, mt, interpret)
+    return out, (m_key, m_val, q_key, slot_valid, bboxes, lse, out)
+
+
+def _zero_cot(x):
+    """Zero cotangent for integer/bool primals (JAX wants float0)."""
+    import numpy as np
+
+    return np.zeros(x.shape, dtype=jax.dtypes.float0)
+
+
+def _flash_core_bwd(stride, mt, interpret, res, g):
+    m_key, m_val, q_key, slot_valid, bboxes, lse, out = res
+    dmk, dmv, dqk = _flash_bwd_impl(
+        m_key, m_val, q_key, slot_valid, bboxes, lse, out, g,
+        stride, mt, interpret,
+    )
+    return (dmk, dmv, dqk, _zero_cot(slot_valid),
+            None if bboxes is None else _zero_cot(bboxes))
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("stride", "mt", "interpret")
+)
+def flash_memory_read(
+    m_key: jnp.ndarray,      # (N, S, h, w, Ck)
+    m_val: jnp.ndarray,      # (N, S, h, w, Cv)
+    q_key: jnp.ndarray,      # (N, h, w, Ck)
+    slot_valid: jnp.ndarray, # (N, S) bool
+    bboxes: Optional[jnp.ndarray] = None,  # (N, S, 4) int32 full-res
+    stride: int = 16,
+    mt: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused memory read -> (N, h, w, Cv) (without the q_val concat).
+
+    ``bboxes`` are the per-slot regional boxes in full-resolution padded
+    coordinates (x_min, x_max, y_min, y_max — the layout the bank stores,
+    ops/att_map.py::_bboxes). When given, memory positions outside a slot's
+    box are known-zero (memorize masks k/v by the /stride rasterized map)
+    and whole tiles of them are skipped. Without bboxes only invalid slots
+    are skipped. Differentiable (recompute-based flash backward, same
+    block-sparse skip; see module docstring).
+    """
+    return _flash_core(m_key, m_val, q_key, slot_valid, bboxes,
+                       stride, mt, interpret)
 
 
 def memory_read_flash(
