@@ -382,7 +382,9 @@ class RMNetApply:
     n_pts_threshold: int = 10
     n_bbox_loose_pixels: int = 64
     train_bn: bool = False
-    # fused Pallas memory read (forward-only; training keeps the XLA path)
+    # fused block-sparse Pallas memory read (differentiable: custom-VJP
+    # flash backward, ops/flash_attention.py) — serving default on TPU,
+    # opt-in for training via cfg.TRAIN.FLASH_ATTENTION
     use_flash_attention: bool = False
     # inference-only: skip warping the background channel in get_att_map.
     # The bbox generator ignores slot 0 (forward-identical), but training
@@ -480,7 +482,10 @@ class RMNetApply:
             masks_p, (h, w), (0, 0), 16,
             self.prob_threshold, self.n_pts_threshold, self.n_bbox_loose_pixels,
         )
-        att_small = att_small[..., None]  # (B, K, h, w, 1)
+        # cast the binary {0,1} map to the k/v compute dtype (exact): in
+        # bf16 training the masks ride f32 and an f32 multiply here would
+        # silently promote the whole memory-read chain to f32 MXU rate
+        att_small = att_small.astype(k4.dtype)[..., None]  # (B, K, h, w, 1)
         k4 = k4 * att_small
         v4 = v4 * att_small
         return k4, v4, bboxes, bn
@@ -594,7 +599,10 @@ class RMNetApply:
         # reference only batches real objects (models/rmnet.py:327-349) —
         # so K-1 slots run, saving a decoder pass per frame.
         Ko = K - 1
-        att = att_small[:, 1:, :, :, None]  # (B, Ko, h, w, 1)
+        # cast the binary map to the query compute dtype (exact {0,1}): see
+        # memorize — keeps the regional query embedding and the memory read
+        # in bf16 when training with TRAIN.BF16
+        att = att_small.astype(k4.dtype)[:, 1:, :, :, None]  # (B, Ko, h, w, 1)
         k4e = k4[:, None] * att  # (B, Ko, h, w, Ck)
         v4e = v4[:, None] * att
 
@@ -749,15 +757,21 @@ class RMNetApply:
         key_dim: int = 128,
         val_dim: int = 512,
         dtype=jnp.float32,
+        kv_dtype=None,
     ) -> VOSState:
+        """``kv_dtype`` overrides the bank key/value buffer dtype — bf16
+        training keeps masks/est f32 (soft_aggregation is f32-pinned) while
+        the memorize heads emit bf16; the bank must match the heads or the
+        ring write rejects the dtype mix."""
         B, K, H, W = masks0.shape
         from rmnet_tpu.ops.pad import divide_pads
 
+        kv_dtype = kv_dtype or dtype
         lw, uw, lh, uh = divide_pads(H, W, 16)
         h, w = (H + lh + uh) // 16, (W + lw + uw) // 16
         bank = MemoryBank(
-            keys=jnp.zeros((B, K, capacity, h, w, key_dim), dtype),
-            values=jnp.zeros((B, K, capacity, h, w, val_dim), dtype),
+            keys=jnp.zeros((B, K, capacity, h, w, key_dim), kv_dtype),
+            values=jnp.zeros((B, K, capacity, h, w, val_dim), kv_dtype),
             bboxes=jnp.zeros((B, K, capacity, 4), jnp.int32),
             cursor=jnp.zeros((), jnp.int32),
         )
@@ -849,6 +863,9 @@ class RMNetApply:
         state = self.init_state(
             frames[:, 0], masks[:, 0], capacity=max(T - 1, 1),
             dtype=frames.dtype,
+            # bf16 training: the kv bank follows the heads' compute dtype
+            # while masks/est stay f32 (soft_aggregation is f32-pinned)
+            kv_dtype=self.model.dtype or frames.dtype,
         )
 
         step_fn = jax.checkpoint(self.step) if self.remat else self.step
