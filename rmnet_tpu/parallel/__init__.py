@@ -13,7 +13,9 @@ TPU-native replacements for the reference's parallel machinery:
 
 from rmnet_tpu.parallel.mesh import (
     make_mesh,
+    make_hybrid_mesh,
     shard_batch,
+    hybrid_shard_batch,
     replicate,
     data_parallel_sharding,
     spatial_sharding,
@@ -23,7 +25,9 @@ from rmnet_tpu.parallel.eval_farm import DeviceFarm
 
 __all__ = [
     "make_mesh",
+    "make_hybrid_mesh",
     "shard_batch",
+    "hybrid_shard_batch",
     "replicate",
     "data_parallel_sharding",
     "spatial_sharding",

@@ -46,6 +46,57 @@ def shard_batch(batch: Any, mesh: Mesh, axis_name: str = "data") -> Any:
     return jax.tree_util.tree_map(put, batch)
 
 
+def make_hybrid_mesh(n_data: int, n_space: int,
+                     axis_names=("data", "space")) -> Mesh:
+    """2D mesh for hybrid batch x width training (DP x SP).
+
+    Use when the per-chip batch share would otherwise drop below 1 — e.g.
+    high-resolution fine-tuning with B < n_chips. The train step needs no
+    changes: place the batch with :func:`hybrid_shard_batch` and params
+    replicated, and GSPMD emits conv halo exchanges along 'space' plus the
+    gradient all-reduce over BOTH axes (the TPU-native generalization of
+    the reference's batch-only DataParallel, core/train.py:68-69).
+    """
+    devices = jax.devices()
+    need = n_data * n_space
+    if need > len(devices):
+        raise ValueError(
+            f"requested {need} devices, only {len(devices)} present")
+    return Mesh(
+        np.array(devices[:need]).reshape(n_data, n_space), axis_names
+    )
+
+
+# batch-dict key -> (ndim, width axis) for the training batch layout
+# (rmnet_tpu.core.train: frames/flows NHWC-style, masks B T K H W)
+_TRAIN_WIDTH_AXES = {
+    "frames": (5, 3),
+    "masks": (5, 4),
+    "flows": (5, 3),
+}
+
+
+def hybrid_shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a training batch on a 2D ('data', 'space') mesh: leading axis
+    over 'data', frame width over 'space'; scalar-per-frame arrays
+    (n_objects) shard over 'data' only. jit propagates these input
+    shardings, so the unmodified train step runs as one hybrid GSPMD
+    program."""
+    d, s = mesh.axis_names
+    out = {}
+    for key, x in batch.items():
+        nd_w = _TRAIN_WIDTH_AXES.get(key)
+        if nd_w is not None and np.ndim(x) == nd_w[0]:
+            spec = [None] * nd_w[0]
+            spec[0] = d
+            spec[nd_w[1]] = s
+            sharding = NamedSharding(mesh, P(*spec))
+        else:
+            sharding = NamedSharding(mesh, P(d))
+        out[key] = jax.device_put(x, sharding)
+    return out
+
+
 # jitted spatial programs, keyed by (apply config, mesh) — RMNetApply is a
 # frozen-style dataclass and Mesh is hashable, so repeated serving calls
 # reuse the compiled GSPMD executable
