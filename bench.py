@@ -79,69 +79,15 @@ def _probe_backend(retries=None, probe_timeout=None, backoff=None):
     return False, diag
 
 
-def main():
+def _measure_engine(engine, staged, f0, m0, obj_valid, T, CHUNK, dtype,
+                    want_flops=True, trace=False):
+    """Round-3 methodology on ONE engine config: compile+warm, median-of-5
+    e2e (background label downloads), dedicated device-only warmup, then
+    median-of-5 device-only (1-element final sync). Shared by the dense and
+    flash passes so both ride identical staging and estimator policy."""
     import jax
-    import jax.numpy as jnp
 
-    from rmnet_tpu.config import Config
-    from rmnet_tpu.core.engine import InferenceEngine, build_models
-
-    bf16 = "--f32" not in sys.argv
-    T = int(os.environ.get("BENCH_FRAMES", "48"))
-    H, W = 480, 854
-    K = int(os.environ.get("BENCH_OBJECTS", "2")) + 1  # slots incl. background
-    CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))  # measured optimum (docs/PERFORMANCE.md)
-
-    cfg = Config()
-    cfg.TEST.MEMORY_CAPACITY = max(T // cfg.TEST.MEMORIZE_EVERY + 2, 4)
-
-    dtype = jnp.bfloat16 if bf16 else jnp.float32
-    _, _, rm_vars, tfn_vars = build_models(cfg, 0, dtype=None)
-    engine = InferenceEngine(cfg, rm_vars, tfn_vars, dtype=dtype, chunk=CHUNK)
-
-    rs = np.random.RandomState(0)
-    frames = rs.rand(T, H, W, 3).astype(np.float32) * 2 - 1
-    labels = np.zeros((T, H, W), np.uint8)
-    for t in range(T):
-        y = 100 + 2 * t
-        labels[t, y:y + 120, 150:300] = 1
-        if K > 2:
-            labels[t, y + 40:y + 180, 450:620] = 2
-    masks = np.stack([(labels == k) for k in range(K)], 1).astype(np.uint8)
-    n_objects = np.full((T,), K - 1, np.int32)
-
-    # ---- stage all chunk inputs in HBM up front
-    any_new, commit = engine._video_flags(n_objects, T)
-    obj_valid = jnp.asarray(((np.arange(K) >= 1) & (np.arange(K) <= K - 1))[None])
     chunk_fn = engine._get_chunk_fn(use_tfn_flow=True, return_probs=False)
-
-    staged = []
-    t = 1
-    for size in engine._chunk_plan(T - 1):  # tapered tail hides the last download
-        if t >= T:
-            break
-        end = min(t + size, T)
-        n_pad = size - (end - t)
-
-        def pad_tail(a):
-            return np.concatenate([a, np.repeat(a[-1:], n_pad, 0)], 0) if n_pad else a
-
-        staged.append((
-            jax.device_put(pad_tail(frames[t:end])[:, None]),
-            jax.device_put(pad_tail(masks[t:end]).astype(np.float32)[:, None]),
-            jax.device_put(pad_tail(any_new[t:end])),
-            jax.device_put(pad_tail(commit[t - 1:end - 1])),
-            jax.device_put(np.arange(size) < (end - t)),
-            end - t,
-        ))
-        t = end
-
-    # first frame + mask staged to HBM like every other input (uploading
-    # 6 MB of f32 through the tunnel costs ~215 ms per pass otherwise).
-    # frame0 passes into the DONATED state unchanged, so each pass works on
-    # a device-side copy of the staged buffer.
-    f0 = jax.device_put(frames[None, 0])
-    m0 = jax.device_put(masks[None, 0].astype(np.float32))
     _copy = jax.jit(lambda a: a + 0)
 
     def _fresh_state():
@@ -189,15 +135,18 @@ def main():
     # compiled-cost introspection for the MFU estimate (best effort):
     # FLOPs of one steady-state chunk program / frames-per-chunk
     flops_per_frame = None
-    try:
-        f_c, g_c, new_c, com_c, valid_c, _ = staged[0]
-        lowered = chunk_fn.lower(
-            engine.rmnet_vars, engine.tfn_vars, _fresh_state(),
-            f_c, g_c, new_c, com_c, valid_c, obj_valid,
-        )
-        flops_per_frame = float(lowered.compile().cost_analysis()["flops"]) / CHUNK
-    except Exception:
-        pass
+    if want_flops:
+        try:
+            f_c, g_c, new_c, com_c, valid_c, _ = staged[0]
+            lowered = chunk_fn.lower(
+                engine.rmnet_vars, engine.tfn_vars, _fresh_state(),
+                f_c, g_c, new_c, com_c, valid_c, obj_valid,
+            )
+            flops_per_frame = (
+                float(lowered.compile().cost_analysis()["flops"]) / CHUNK
+            )
+        except Exception:
+            pass
 
     run_once()  # compile + warm
     # 5 measured passes. The host<->device link can stall for hundreds of
@@ -206,15 +155,17 @@ def main():
     # the conservative estimator.
     from rmnet_tpu.utils.profiling import trace_if
 
+    import contextlib
+
     fps_runs = []
-    with trace_if():  # RMNET_TRACE_DIR=<dir> captures a profiler trace
+    labels_out = None
+    ctx = trace_if() if trace else contextlib.nullcontext()
+    with ctx:  # RMNET_TRACE_DIR=<dir> captures a profiler trace
         for _ in range(5):
             tic = time.perf_counter()
             labels_out = run_once()
             toc = time.perf_counter()
             fps_runs.append((T - 1) / (toc - tic))
-    fps = max(fps_runs)
-    fps_median = float(np.median(fps_runs))
 
     # device-only path: dedicated warmup (its program differs from run_once —
     # no per-chunk downloads — so the first call pays residual compile /
@@ -226,8 +177,122 @@ def main():
         tic = time.perf_counter()
         run_device_only()
         dev_runs.append((T - 1) / (time.perf_counter() - tic))
+    return {
+        "fps_runs": fps_runs,
+        "dev_runs": dev_runs,
+        "flops_per_frame": flops_per_frame,
+        "labels_out": labels_out,
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from rmnet_tpu.config import Config
+    from rmnet_tpu.core.engine import InferenceEngine, build_models
+
+    t_start = time.perf_counter()
+    bf16 = "--f32" not in sys.argv
+    T = int(os.environ.get("BENCH_FRAMES", "48"))
+    # BENCH_HW: smoke-test override ("H,W"); the headline number is 480p
+    H, W = map(int, os.environ.get("BENCH_HW", "480,854").split(","))
+    K = int(os.environ.get("BENCH_OBJECTS", "2")) + 1  # slots incl. background
+    CHUNK = int(os.environ.get("BENCH_CHUNK", "16"))  # measured optimum (docs/PERFORMANCE.md)
+
+    cfg = Config()
+    cfg.TEST.MEMORY_CAPACITY = max(T // cfg.TEST.MEMORIZE_EVERY + 2, 4)
+
+    dtype = jnp.bfloat16 if bf16 else jnp.float32
+    _, _, rm_vars, tfn_vars = build_models(cfg, 0, dtype=None)
+    engine = InferenceEngine(cfg, rm_vars, tfn_vars, dtype=dtype, chunk=CHUNK)
+
+    rs = np.random.RandomState(0)
+    frames = rs.rand(T, H, W, 3).astype(np.float32) * 2 - 1
+    labels = np.zeros((T, H, W), np.uint8)
+    for t in range(T):
+        y = 100 + 2 * t
+        labels[t, y:y + 120, 150:300] = 1
+        if K > 2:
+            labels[t, y + 40:y + 180, 450:620] = 2
+    masks = np.stack([(labels == k) for k in range(K)], 1).astype(np.uint8)
+    n_objects = np.full((T,), K - 1, np.int32)
+
+    # ---- stage all chunk inputs in HBM up front
+    any_new, commit = engine._video_flags(n_objects, T)
+    obj_valid = jnp.asarray(((np.arange(K) >= 1) & (np.arange(K) <= K - 1))[None])
+
+    staged = []
+    t = 1
+    for size in engine._chunk_plan(T - 1):  # tapered tail hides the last download
+        if t >= T:
+            break
+        end = min(t + size, T)
+        n_pad = size - (end - t)
+
+        def pad_tail(a):
+            return np.concatenate([a, np.repeat(a[-1:], n_pad, 0)], 0) if n_pad else a
+
+        staged.append((
+            jax.device_put(pad_tail(frames[t:end])[:, None]),
+            jax.device_put(pad_tail(masks[t:end]).astype(np.float32)[:, None]),
+            jax.device_put(pad_tail(any_new[t:end])),
+            jax.device_put(pad_tail(commit[t - 1:end - 1])),
+            jax.device_put(np.arange(size) < (end - t)),
+            end - t,
+        ))
+        t = end
+
+    # first frame + mask staged to HBM like every other input (uploading
+    # 6 MB of f32 through the tunnel costs ~215 ms per pass otherwise).
+    # frame0 passes into the DONATED state unchanged, so each pass works on
+    # a device-side copy of the staged buffer.
+    f0 = jax.device_put(frames[None, 0])
+    m0 = jax.device_put(masks[None, 0].astype(np.float32))
+
+    dense = _measure_engine(engine, staged, f0, m0, obj_valid, T, CHUNK,
+                            dtype, want_flops=True, trace=True)
+    fps_runs = dense["fps_runs"]
+    dev_runs = dense["dev_runs"]
+    flops_per_frame = dense["flops_per_frame"]
+    labels_out = dense["labels_out"]
+    fps = max(fps_runs)
+    fps_median = float(np.median(fps_runs))
     device_fps = float(np.median(dev_runs))
     device_fps_best = max(dev_runs)
+
+    # ---- block-sparse flash read, same staging + methodology (VERDICT r3:
+    # report dense AND flash from one driver run). Guarded so it can never
+    # cost the dense result: skipped on CPU, on BENCH_FLASH=0, or when the
+    # dense pass already spent the deadline; failures land in flash_error.
+    flash_metrics = {}
+    deadline = float(os.environ.get("BENCH_FLASH_DEADLINE", "1500"))
+    if os.environ.get("BENCH_FLASH", "1") == "1" and (
+            jax.default_backend() != "cpu"
+            # CPU structural smoke (engine falls back to dense internally)
+            or os.environ.get("BENCH_FORCE_FLASH") == "1"):
+        if time.perf_counter() - t_start > deadline:
+            flash_metrics["flash_error"] = (
+                f"skipped: dense pass exceeded {deadline:.0f}s deadline")
+        else:
+            try:
+                fengine = InferenceEngine(cfg, rm_vars, tfn_vars, dtype=dtype,
+                                          chunk=CHUNK,
+                                          use_flash_attention=True)
+                fm = _measure_engine(fengine, staged, f0, m0, obj_valid, T,
+                                     CHUNK, dtype, want_flops=False)
+                flash_metrics = {
+                    "flash_fps": round(float(np.median(fm["fps_runs"])), 3),
+                    "flash_fps_best": round(max(fm["fps_runs"]), 3),
+                    "flash_runs": [round(f, 2) for f in fm["fps_runs"]],
+                    "flash_device_fps": round(
+                        float(np.median(fm["dev_runs"])), 3),
+                    "flash_device_fps_best": round(max(fm["dev_runs"]), 3),
+                    "flash_device_runs": [round(f, 2) for f in fm["dev_runs"]],
+                }
+            except Exception as ex:
+                flash_metrics["flash_error"] = repr(ex)[:500]
+
     total = np.concatenate(labels_out, axis=0)
     # labels come back packed: 5 px/byte (K<=3), 4 px/byte (K<=4), 2 (K<=16)
     assert total.shape in (
@@ -262,6 +327,7 @@ def main():
                   / _PEAK_FLOPS["bf16" if bf16 else "f32"], 4)
             if flops_per_frame else None
         ),
+        **flash_metrics,
     }))
 
 
