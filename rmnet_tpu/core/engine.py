@@ -345,17 +345,46 @@ class InferenceEngine:
         return_probs: bool,
         accumulate_into=None,   # (acc, flip, out_hw): on-device TTA pass
     ):
-        T, K, H, W = masks.shape
-        n_max = int(np.max(n_objects))
+        # Single video: frames (T, H, W, 3). Multi-stream lockstep serving:
+        # frames (N, T, H, W, 3) — N videos advance through ONE compiled
+        # chunk program as the model batch dim. Streaming VOS on one video is
+        # latency-bound (per-frame matmuls are far below MXU saturation), so
+        # batching streams multiplies chip throughput at near-constant step
+        # latency. The bank cursor and commit/any_new flags are scalar per
+        # step (models/rmnet.py:657-666), so all streams must share the
+        # commit schedule — same T and same object-appearance frames.
+        multi = frames.ndim == 5
+        if not multi:
+            frames = frames[None]
+            masks = masks[None]
+            n_objects = np.asarray(n_objects)[None]
+            if flows is not None:
+                flows = flows[None]
+        N, T, K, H, W = masks.shape
+        n_max = np.max(np.asarray(n_objects), axis=1)  # (N,)
         obj_valid = jnp.asarray(
-            ((np.arange(K) >= 1) & (np.arange(K) <= n_max))[None]
+            (np.arange(K)[None] >= 1) & (np.arange(K)[None] <= n_max[:, None])
         )
-        any_new, commit = self._video_flags(n_objects, T)
+        any_new, commit = self._video_flags(np.asarray(n_objects)[0], T)
+        for i in range(1, N):
+            a_i, c_i = self._video_flags(np.asarray(n_objects)[i], T)
+            if not (np.array_equal(any_new, a_i) and np.array_equal(commit, c_i)):
+                raise ValueError(
+                    "multi-stream serving is lockstep: all videos must share "
+                    "the commit/any_new schedule (video %d diverges; run it "
+                    "separately or group videos by schedule)" % i
+                )
         capacity = self._capacity_for(T, commit)
 
+        # time-major layout: chunk slicing/padding stays axis-0 for any N
+        frames = np.moveaxis(frames, 0, 1)          # (T, N, H, W, 3)
+        masks = np.moveaxis(masks, 0, 1)            # (T, N, K, H, W)
+        if flows is not None:
+            flows = np.moveaxis(flows, 0, 1)        # (T, N, H, W, 2)
+
         state = self.apply.init_state(
-            jnp.asarray(frames[None, 0].astype(np.float32)),
-            jnp.asarray(masks[None, 0].astype(np.float32)),
+            jnp.asarray(frames[0].astype(np.float32)),
+            jnp.asarray(masks[0].astype(np.float32)),
             capacity=capacity,
             dtype=self.dtype,
         )
@@ -364,14 +393,15 @@ class InferenceEngine:
                                       capacity=capacity)
 
         if accumulate_into is not None:
+            assert not multi, "TTA accumulation is a single-video path"
             acc, flip, out_hw = accumulate_into
             out = None
         elif return_probs:
-            out = np.zeros((T, K, H, W), np.float32)
+            out = np.zeros((T, N, K, H, W), np.float32)
             out[0] = masks[0]
         else:
-            out = np.zeros((T, H, W), np.uint8)
-            out[0] = np.argmax(masks[0], axis=0)
+            out = np.zeros((T, N, H, W), np.uint8)
+            out[0] = np.argmax(masks[0], axis=1)
 
         def pad_tail(a, n):
             return np.concatenate([a, np.repeat(a[-1:], n, 0)], 0) if n else a
@@ -381,7 +411,7 @@ class InferenceEngine:
             est_np = np.asarray(est)
             if not return_probs:
                 est_np = self._unpack_labels(est_np, W)
-            out[p_t:p_end] = est_np[: p_end - p_t, 0]
+            out[p_t:p_end] = est_np[: p_end - p_t]
 
         pending = None
         t = 1
@@ -390,8 +420,8 @@ class InferenceEngine:
                 break
             end = min(t + size, T)
             n_pad = size - (end - t)
-            f_c = pad_tail(frames[t:end].astype(np.float32), n_pad)[:, None]
-            g_c = pad_tail(masks[t:end], n_pad)[:, None]
+            f_c = pad_tail(frames[t:end].astype(np.float32), n_pad)
+            g_c = pad_tail(masks[t:end], n_pad)
             new_c = pad_tail(any_new[t:end], n_pad)
             com_c = pad_tail(commit[t - 1 : end - 1], n_pad)
             valid_c = np.arange(size) < (end - t)
@@ -401,7 +431,7 @@ class InferenceEngine:
                 jnp.asarray(com_c), jnp.asarray(valid_c), obj_valid,
             ]
             if flows is not None:
-                fl_c = pad_tail(flows[t:end].astype(np.float32), n_pad)[:, None]
+                fl_c = pad_tail(flows[t:end].astype(np.float32), n_pad)
                 args.append(jnp.asarray(fl_c))
             state, est = chunk_fn(*args)
             if accumulate_into is not None:
@@ -425,7 +455,9 @@ class InferenceEngine:
             return acc
         if pending is not None:
             materialize(pending)
-        return out
+        # out is time-major (T, N, ...): videos-major for multi, squeezed
+        # back to the single-video shapes otherwise
+        return np.moveaxis(out, 0, 1) if multi else out[:, 0]
 
     def run_video_labels(
         self,
@@ -445,6 +477,37 @@ class InferenceEngine:
         flows: Optional[np.ndarray] = None,
     ) -> np.ndarray:
         """Full path: returns est_masks (T, K, H, W) float32 probabilities."""
+        return self._run(frames, masks, n_objects, flows, return_probs=True)
+
+    def run_videos_labels(
+        self,
+        frames: np.ndarray,        # (N, T, H, W, 3) normalized float32
+        masks: np.ndarray,         # (N, T, K, H, W) gt one-hot (frame 0 required)
+        n_objects: np.ndarray,     # (N, T) int
+        flows: Optional[np.ndarray] = None,  # (N, T, H, W, 2) or None
+    ) -> np.ndarray:
+        """Multi-stream lockstep serving: N videos through ONE compiled
+        chunk program, batched on the model's batch axis. Returns
+        (N, T, H, W) uint8 labels.
+
+        Single-stream 480p serving is latency-bound — per-frame matmuls sit
+        far below MXU saturation (est_mfu ~0.016, docs/PERFORMANCE.md) — so
+        batching streams multiplies aggregate FPS/chip at near-constant step
+        latency. The reference serves strictly one video at a time
+        (core/test.py:59-118). Constraint: the bank cursor and the
+        commit/any_new flags are per-step scalars, so all N videos must
+        share T and the commit schedule (raises ValueError otherwise);
+        group videos by schedule for farm-style throughput serving."""
+        return self._run(frames, masks, n_objects, flows, return_probs=False)
+
+    def run_videos(
+        self,
+        frames: np.ndarray,
+        masks: np.ndarray,
+        n_objects: np.ndarray,
+        flows: Optional[np.ndarray] = None,
+    ) -> np.ndarray:
+        """Multi-stream probability path: (N, T, K, H, W) float32."""
         return self._run(frames, masks, n_objects, flows, return_probs=True)
 
     def run_video_raw(
