@@ -223,6 +223,7 @@ def main():
     obj_valid = jnp.asarray(((np.arange(K) >= 1) & (np.arange(K) <= K - 1))[None])
 
     staged = []
+    staged_np = []  # host twins (frames, masks) for the multistream restage
     t = 1
     for size in engine._chunk_plan(T - 1):  # tapered tail hides the last download
         if t >= T:
@@ -233,9 +234,12 @@ def main():
         def pad_tail(a):
             return np.concatenate([a, np.repeat(a[-1:], n_pad, 0)], 0) if n_pad else a
 
+        f_np = pad_tail(frames[t:end])[:, None]
+        g_np = pad_tail(masks[t:end]).astype(np.float32)[:, None]
+        staged_np.append((f_np, g_np))
         staged.append((
-            jax.device_put(pad_tail(frames[t:end])[:, None]),
-            jax.device_put(pad_tail(masks[t:end]).astype(np.float32)[:, None]),
+            jax.device_put(f_np),
+            jax.device_put(g_np),
             jax.device_put(pad_tail(any_new[t:end])),
             jax.device_put(pad_tail(commit[t - 1:end - 1])),
             jax.device_put(np.arange(size) < (end - t)),
@@ -293,6 +297,59 @@ def main():
             except Exception as ex:
                 flash_metrics["flash_error"] = repr(ex)[:500]
 
+    # ---- multi-stream aggregate throughput at the measured-best N
+    # (round-4 curve, docs/PERFORMANCE.md: N=2 is the knee — the 480p step
+    # is HBM-bound, so batching streams buys only a few percent and N>=4
+    # LOSES throughput; this records the curve's peak driver-side).
+    # Same methodology: staged HBM inputs, dedicated warmup, median-of-5
+    # device-only, 1-element sync. Guarded like the flash pass.
+    ms_metrics = {}
+    N_ms = int(os.environ.get("BENCH_MS_STREAMS", "2"))
+    if N_ms > 1 and os.environ.get("BENCH_MS", "1") == "1" and (
+            jax.default_backend() != "cpu"):
+        if time.perf_counter() - t_start > deadline:
+            ms_metrics["multistream_error"] = (
+                f"skipped: earlier passes exceeded {deadline:.0f}s deadline")
+        else:
+            try:
+                msengine = InferenceEngine(
+                    cfg, rm_vars, tfn_vars, dtype=dtype, chunk=CHUNK,
+                    use_flash_attention=(
+                        "flash_fps" in flash_metrics or None),
+                )
+                obj_valid_ms = jnp.asarray(np.broadcast_to(
+                    (np.arange(K) >= 1) & (np.arange(K) <= K - 1),
+                    (N_ms, K)).copy())
+                staged_ms = [
+                    (
+                        jax.device_put(np.broadcast_to(
+                            f_np, (f_np.shape[0], N_ms) + f_np.shape[2:]).copy()),
+                        jax.device_put(np.broadcast_to(
+                            g_np, (g_np.shape[0], N_ms) + g_np.shape[2:]).copy()),
+                        new_c, com_c, valid_c, n_live,
+                    )
+                    for (f_np, g_np), (_, _, new_c, com_c, valid_c, n_live)
+                    in zip(staged_np, staged)
+                ]
+                f0_ms = jax.device_put(np.broadcast_to(
+                    frames[None, 0], (N_ms, H, W, 3)).copy())
+                m0_ms = jax.device_put(np.broadcast_to(
+                    masks[None, 0].astype(np.float32), (N_ms, K, H, W)).copy())
+                msm = _measure_engine(msengine, staged_ms, f0_ms, m0_ms,
+                                      obj_valid_ms, T, CHUNK, dtype,
+                                      want_flops=False)
+                agg = [N_ms * r for r in msm["dev_runs"]]
+                ms_metrics = {
+                    "multistream_streams": N_ms,
+                    "multistream_agg_fps": round(float(np.median(agg)), 3),
+                    "multistream_agg_fps_best": round(max(agg), 3),
+                    "multistream_agg_runs": [round(f, 2) for f in agg],
+                    "multistream_agg_fps_e2e": round(
+                        float(np.median([N_ms * r for r in msm["fps_runs"]])), 3),
+                }
+            except Exception as ex:
+                ms_metrics["multistream_error"] = repr(ex)[:500]
+
     total = np.concatenate(labels_out, axis=0)
     # labels come back packed: 5 px/byte (K<=3), 4 px/byte (K<=4), 2 (K<=16)
     assert total.shape in (
@@ -328,6 +385,7 @@ def main():
             if flops_per_frame else None
         ),
         **flash_metrics,
+        **ms_metrics,
     }))
 
 

@@ -165,6 +165,13 @@ class Test:
     # reference's unbounded bank (models/rmnet.py:420-422). A fixed value
     # evicts the oldest committed memory on long videos (warned loudly).
     MEMORY_CAPACITY: int = 0
+    # N-way serving: test_net batches N videos (ragged lengths/schedules,
+    # per-stream ring cursor) through one chunk program. Default 1: the
+    # measured 480p curve peaks at N=2 with only +5% aggregate FPS and
+    # LOSES throughput at N>=4 (HBM-bound step; docs/PERFORMANCE.md
+    # multi-stream table) — raise it for small-frame workloads where a
+    # single stream genuinely under-fills the chip.
+    N_STREAMS: int = 1
 
 
 @dataclass

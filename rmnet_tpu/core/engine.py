@@ -47,6 +47,11 @@ class InferenceEngine:
         device=None,
         apply_overrides: Optional[Dict[str, Any]] = None,
     ):
+        # share compiles across processes (eval_server restarts, farm
+        # workers, bench runs): ~25-50 s Mosaic + XLA per geometry otherwise
+        from rmnet_tpu.utils.compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.cfg = cfg
         self.dtype = dtype
         self.chunk = chunk
@@ -344,15 +349,19 @@ class InferenceEngine:
         flows: Optional[np.ndarray],
         return_probs: bool,
         accumulate_into=None,   # (acc, flip, out_hw): on-device TTA pass
+        lengths: Optional[np.ndarray] = None,  # (N,) true lengths (ragged)
     ):
-        # Single video: frames (T, H, W, 3). Multi-stream lockstep serving:
-        # frames (N, T, H, W, 3) — N videos advance through ONE compiled
-        # chunk program as the model batch dim. Streaming VOS on one video is
-        # latency-bound (per-frame matmuls are far below MXU saturation), so
-        # batching streams multiplies chip throughput at near-constant step
-        # latency. The bank cursor and commit/any_new flags are scalar per
-        # step (models/rmnet.py:657-666), so all streams must share the
-        # commit schedule — same T and same object-appearance frames.
+        # Single video: frames (T, H, W, 3). Multi-stream serving: frames
+        # (N, T, H, W, 3) — N videos advance through ONE compiled chunk
+        # program as the model batch dim. Measured 480p curve
+        # (docs/PERFORMANCE.md): the step is HBM-bound, so batching peaks at
+        # N=2 (+5% aggregate) and LOSES throughput at N>=4 — use N>1 for
+        # small-frame workloads or the last few farm percent. Videos sharing
+        # one commit/any_new schedule ride the scalar-cursor program (one
+        # shared lax.cond bank write); mixed schedules or ragged lengths
+        # switch to the per-stream path — (B,) cursor, per-stream
+        # commit/any_new/step_valid vectors, batched one-slot ring scatter
+        # (models/rmnet.py step(), per_stream mode).
         multi = frames.ndim == 5
         if not multi:
             frames = frames[None]
@@ -361,20 +370,33 @@ class InferenceEngine:
             if flows is not None:
                 flows = flows[None]
         N, T, K, H, W = masks.shape
-        n_max = np.max(np.asarray(n_objects), axis=1)  # (N,)
+        n_objects = np.asarray(n_objects)
+        if lengths is None:
+            lengths = np.full((N,), T, np.int64)
+        else:
+            lengths = np.asarray(lengths)
+        n_max = np.max(n_objects, axis=1)  # (N,)
         obj_valid = jnp.asarray(
             (np.arange(K)[None] >= 1) & (np.arange(K)[None] <= n_max[:, None])
         )
-        any_new, commit = self._video_flags(np.asarray(n_objects)[0], T)
-        for i in range(1, N):
-            a_i, c_i = self._video_flags(np.asarray(n_objects)[i], T)
-            if not (np.array_equal(any_new, a_i) and np.array_equal(commit, c_i)):
-                raise ValueError(
-                    "multi-stream serving is lockstep: all videos must share "
-                    "the commit/any_new schedule (video %d diverges; run it "
-                    "separately or group videos by schedule)" % i
-                )
-        capacity = self._capacity_for(T, commit)
+        flags = [self._video_flags(n_objects[i], T) for i in range(N)]
+        # zero the flags past each stream's true length (masked out by
+        # step_valid anyway; keeps the capacity count and schedule
+        # comparison honest)
+        for i in range(N):
+            flags[i][0][lengths[i]:] = False
+            flags[i][1][lengths[i]:] = False
+        any_new, commit = flags[0]
+        per_stream = int(np.min(lengths)) != T or any(
+            not (np.array_equal(any_new, a) and np.array_equal(commit, c))
+            for a, c in flags[1:]
+        )
+        capacity = max(
+            self._capacity_for(int(lengths[i]), flags[i][1]) for i in range(N)
+        )
+        if per_stream:
+            any_new_tm = np.stack([a for a, _ in flags], axis=1)  # (T, N)
+            commit_tm = np.stack([c for _, c in flags], axis=1)   # (T, N)
 
         # time-major layout: chunk slicing/padding stays axis-0 for any N
         frames = np.moveaxis(frames, 0, 1)          # (T, N, H, W, 3)
@@ -387,6 +409,7 @@ class InferenceEngine:
             jnp.asarray(masks[0].astype(np.float32)),
             capacity=capacity,
             dtype=self.dtype,
+            per_stream_cursor=per_stream,
         )
         chunk_fn = self._get_chunk_fn(use_tfn_flow=flows is None,
                                       return_probs=return_probs,
@@ -422,9 +445,15 @@ class InferenceEngine:
             n_pad = size - (end - t)
             f_c = pad_tail(frames[t:end].astype(np.float32), n_pad)
             g_c = pad_tail(masks[t:end], n_pad)
-            new_c = pad_tail(any_new[t:end], n_pad)
-            com_c = pad_tail(commit[t - 1 : end - 1], n_pad)
-            valid_c = np.arange(size) < (end - t)
+            if per_stream:
+                new_c = pad_tail(any_new_tm[t:end], n_pad)           # (C, N)
+                com_c = pad_tail(commit_tm[t - 1 : end - 1], n_pad)  # (C, N)
+                # step s live for stream i iff frame s exists in video i
+                valid_c = (t + np.arange(size))[:, None] < lengths[None, :]
+            else:
+                new_c = pad_tail(any_new[t:end], n_pad)
+                com_c = pad_tail(commit[t - 1 : end - 1], n_pad)
+                valid_c = np.arange(size) < (end - t)
             args = [
                 self.rmnet_vars, self.tfn_vars, state,
                 jnp.asarray(f_c), jnp.asarray(g_c), jnp.asarray(new_c),
@@ -486,19 +515,79 @@ class InferenceEngine:
         n_objects: np.ndarray,     # (N, T) int
         flows: Optional[np.ndarray] = None,  # (N, T, H, W, 2) or None
     ) -> np.ndarray:
-        """Multi-stream lockstep serving: N videos through ONE compiled
+        """Multi-stream serving: N equal-length videos through ONE compiled
         chunk program, batched on the model's batch axis. Returns
         (N, T, H, W) uint8 labels.
 
-        Single-stream 480p serving is latency-bound — per-frame matmuls sit
-        far below MXU saturation (est_mfu ~0.016, docs/PERFORMANCE.md) — so
-        batching streams multiplies aggregate FPS/chip at near-constant step
-        latency. The reference serves strictly one video at a time
-        (core/test.py:59-118). Constraint: the bank cursor and the
-        commit/any_new flags are per-step scalars, so all N videos must
-        share T and the commit schedule (raises ValueError otherwise);
-        group videos by schedule for farm-style throughput serving."""
+        Measured 480p curve (docs/PERFORMANCE.md): the step is HBM-bound,
+        so batching peaks at N=2 (+5% aggregate device FPS) and loses
+        throughput at N>=4 — size N accordingly (small frames benefit
+        more). The reference serves strictly one video at a time
+        (core/test.py:59-118). Videos sharing one commit/any_new schedule
+        ride the scalar-cursor program; mixed schedules switch to the
+        per-stream (B,)-cursor path automatically. For videos of DIFFERENT
+        lengths use :meth:`run_video_batch`."""
         return self._run(frames, masks, n_objects, flows, return_probs=False)
+
+    def run_video_batch(
+        self,
+        videos,                       # sequence of (frames, masks, n_objects)
+                                      #   or (frames, masks, n_objects, flows)
+        return_probs: bool = False,
+    ):
+        """Ragged multi-stream serving: videos of DIFFERENT lengths, object
+        counts, and commit schedules batched through one compiled chunk
+        program. Returns a list of per-video outputs at each video's true
+        length ((T_i, H, W) uint8 labels, or (T_i, K_max, H, W) float32
+        probabilities with ``return_probs``).
+
+        Shorter videos are padded to the longest and FROZEN past their last
+        frame (per-stream step_valid); each stream commits on its own
+        schedule via the (B,)-cursor ring bank. All videos must share the
+        frame size; masks are zero-padded to the largest K. Matches the
+        reference's per-video semantics (models/rmnet.py:404-426) exactly —
+        pinned by tests/test_engine_multistream.py mixed-set parity.
+        """
+        vids = [tuple(v) for v in videos]
+        if not vids:
+            return []
+        has_flows = len(vids[0]) >= 4 and vids[0][3] is not None
+        if any((len(v) >= 4 and v[3] is not None) != has_flows for v in vids):
+            raise ValueError(
+                "run_video_batch: either every video carries precomputed "
+                "flows or none does (TinyFlowNet-in-scan vs fed flows are "
+                "different programs)"
+            )
+        H, W = vids[0][0].shape[1:3]
+        if any(v[0].shape[1:3] != (H, W) for v in vids):
+            raise ValueError(
+                "run_video_batch: all videos must share the frame size; "
+                "group by resolution (DAVIS 480p is uniform)"
+            )
+        N = len(vids)
+        lengths = np.array([v[0].shape[0] for v in vids])
+        T = int(lengths.max())
+        K = max(v[1].shape[1] for v in vids)
+
+        def pad_t(a, T_i):
+            return (np.concatenate([a, np.repeat(a[-1:], T - T_i, 0)], 0)
+                    if T_i < T else a)
+
+        frames = np.stack([pad_t(v[0], l) for v, l in zip(vids, lengths)])
+        masks = np.stack([
+            pad_t(np.pad(v[1], ((0, 0), (0, K - v[1].shape[1]), (0, 0), (0, 0))), l)
+            for v, l in zip(vids, lengths)
+        ])
+        n_objects = np.stack([
+            pad_t(np.asarray(v[2]), l) for v, l in zip(vids, lengths)
+        ])
+        flows = None
+        if has_flows:
+            flows = np.stack([pad_t(v[3], l) for v, l in zip(vids, lengths)])
+
+        out = self._run(frames, masks, n_objects, flows,
+                        return_probs=return_probs, lengths=lengths)
+        return [out[i, : lengths[i]] for i in range(N)]
 
     def run_videos(
         self,

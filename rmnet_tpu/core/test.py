@@ -65,6 +65,72 @@ def _test_videos(cfg, epoch_idx, test_data_loader, test_writer, engine,
                  n_videos, test_metrics, fps_meter,
                  raise_on_total_failure=True) -> Metrics:
     n_attempted = n_scored = 0
+    n_streams = max(1, int(getattr(cfg.TEST, "N_STREAMS", 1) or 1))
+
+    def score_one(idx, video_name, frames0, masks0, n_objects0, est_labels, fps):
+        nonlocal n_scored
+        n_scored += 1
+        gt_labels = masks0.argmax(axis=1)
+        metrics = Metrics.get(est_labels, gt_labels,
+                              n_workers=cfg.CONST.N_WORKERS)
+        weight = int(np.max(n_objects0))
+        test_metrics.update(metrics, weight)
+        fps_meter.update(fps)
+
+        if test_writer is not None and idx < 3 and cfg.TEST.VISUALIZE_EVERY > 0:
+            norm = {"mean": cfg.CONST.DATASET_MEAN, "std": cfg.CONST.DATASET_STD}
+            for i in range(0, est_labels.shape[0], cfg.TEST.VISUALIZE_EVERY):
+                est_img = get_segmentation(frames0[i], est_labels[i], norm,
+                                           cfg.CONST.IGNORE_IDX)
+                gt_img = get_segmentation(frames0[i], gt_labels[i], norm,
+                                          cfg.CONST.IGNORE_IDX)
+                test_writer.add_image(
+                    "%s/Frame%03d" % (video_name, i),
+                    np.concatenate((np.array(est_img), np.array(gt_img)), axis=0),
+                    epoch_idx,
+                )
+
+        logging.info(
+            "Test[%d/%d] VideoName = %s FPS = %.2f Metrics = %s",
+            idx + 1, n_videos, video_name, fps, ["%.4f" % m for m in metrics],
+        )
+
+    # N-way serving buffer (cfg.TEST.N_STREAMS > 1): videos batch through
+    # ONE chunk program via the per-stream ring cursor — ragged lengths and
+    # mixed schedules are fine; only the frame size must match, so the
+    # buffer flushes on resolution change (YouTube-VOS mixes sizes).
+    pending = []
+
+    def flush_pending():
+        if not pending:
+            return
+        group, del_n = list(pending), len(pending)
+        del pending[:del_n]
+        try:
+            tic = time.time()
+            outs = engine.run_video_batch(
+                [(f, m, n) for _, _, f, m, n in group]
+            )
+            dt = max(time.time() - tic, 1e-9)
+            agg_fps = sum(o.shape[0] for o in outs) / dt
+            for (idx, name, f, m, n), est_labels in zip(group, outs):
+                # per-video FPS is the group aggregate (streams finish
+                # together; per-stream latency is T_i/agg * N)
+                score_one(idx, name, f, m, n, est_labels, agg_fps)
+        except Exception as ex:
+            logging.exception(ex)
+            # fall back to serving the group's videos alone so one bad
+            # video doesn't void its whole batch (skip-video robustness,
+            # reference core/test.py:99-101)
+            for idx, name, f, m, n in group:
+                try:
+                    tic = time.time()
+                    est_labels = engine.run_video_labels(f, m, n)
+                    fps = est_labels.shape[0] / max(time.time() - tic, 1e-9)
+                    score_one(idx, name, f, m, n, est_labels, fps)
+                except Exception as ex2:
+                    logging.exception(ex2)
+
     for idx, (names, n_objects, frames, masks, flows) in enumerate(test_data_loader):
         # in-training validation only visits the selected subset
         # (reference core/test.py:71-72)
@@ -73,6 +139,15 @@ def _test_videos(cfg, epoch_idx, test_data_loader, test_writer, engine,
         video_name = names[0]
         single_scale = tuple(cfg.TEST.FRAME_SCALES) == (1.0,) and not cfg.TEST.FLIP_LR
         n_attempted += 1
+
+        if single_scale and n_streams > 1:
+            if pending and pending[-1][2].shape[1:3] != frames[0].shape[1:3]:
+                flush_pending()  # resolution change: close the open batch
+            pending.append((idx, video_name, frames[0], masks[0], n_objects[0]))
+            if len(pending) >= n_streams:
+                flush_pending()
+            continue
+
         try:
             tic = time.time()
             if epoch_idx == -1 and not single_scale:
@@ -89,32 +164,11 @@ def _test_videos(cfg, epoch_idx, test_data_loader, test_writer, engine,
             logging.exception(ex)
             continue
 
-        n_scored += 1
-        gt_labels = masks[0].argmax(axis=1)
-        metrics = Metrics.get(est_labels, gt_labels,
-                              n_workers=cfg.CONST.N_WORKERS)
-        weight = int(np.max(n_objects[0]))
-        test_metrics.update(metrics, weight)
         fps = est_labels.shape[0] / max(toc - tic, 1e-9)
-        fps_meter.update(fps)
+        score_one(idx, video_name, frames[0], masks[0], n_objects[0],
+                  est_labels, fps)
 
-        if test_writer is not None and idx < 3 and cfg.TEST.VISUALIZE_EVERY > 0:
-            norm = {"mean": cfg.CONST.DATASET_MEAN, "std": cfg.CONST.DATASET_STD}
-            for i in range(0, est_labels.shape[0], cfg.TEST.VISUALIZE_EVERY):
-                est_img = get_segmentation(frames[0][i], est_labels[i], norm,
-                                           cfg.CONST.IGNORE_IDX)
-                gt_img = get_segmentation(frames[0][i], gt_labels[i], norm,
-                                          cfg.CONST.IGNORE_IDX)
-                test_writer.add_image(
-                    "%s/Frame%03d" % (video_name, i),
-                    np.concatenate((np.array(est_img), np.array(gt_img)), axis=0),
-                    epoch_idx,
-                )
-
-        logging.info(
-            "Test[%d/%d] VideoName = %s FPS = %.2f Metrics = %s",
-            idx + 1, n_videos, video_name, fps, ["%.4f" % m for m in metrics],
-        )
+    flush_pending()
 
     if n_attempted > 0 and n_scored == 0 and raise_on_total_failure:
         # every single video failed: the ENGINE is broken (e.g. a Mosaic

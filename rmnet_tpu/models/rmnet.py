@@ -354,7 +354,9 @@ class MemoryBank(NamedTuple):
     keys: jnp.ndarray    # (B, K, S, h, w, Ck)
     values: jnp.ndarray  # (B, K, S, h, w, Cv)
     bboxes: jnp.ndarray  # (B, K, S, 4) int32
-    cursor: jnp.ndarray  # () int32 — number of committed slots
+    cursor: jnp.ndarray  # () int32 — number of committed slots; or (B,) when
+    # every stream in the batch keeps its own commit schedule (ragged
+    # multi-stream serving, init_state(per_stream_cursor=True))
     # NOTE: slot validity is derived: slot s valid iff s < cursor.
 
 
@@ -576,7 +578,7 @@ class RMNetApply:
         att_small: jnp.ndarray,  # (B, K, h, w) regional query map at 1/16
         mem_keys: jnp.ndarray,   # (B, K, S, h, w, Ck)
         mem_values: jnp.ndarray, # (B, K, S, h, w, Cv)
-        slot_valid: jnp.ndarray, # (S,) or (B, K, S) bool
+        slot_valid: jnp.ndarray, # (S,), (B, S) per-stream, or (B, K, S) bool
         obj_valid: jnp.ndarray,  # (B, K) bool
         mem_bboxes: Optional[jnp.ndarray] = None,  # (B, K, S, 4) int32
     ) -> Tuple[jnp.ndarray, Optional[Dict[str, Any]]]:
@@ -608,6 +610,10 @@ class RMNetApply:
 
         if slot_valid.ndim == 1:
             slot_valid_bk = jnp.broadcast_to(slot_valid[None], (B * Ko, S))
+        elif slot_valid.ndim == 2:  # (B, S): per-stream, shared across objects
+            slot_valid_bk = jnp.broadcast_to(
+                slot_valid[:, None], (B, Ko, S)
+            ).reshape(B * Ko, S)
         else:
             slot_valid_bk = slot_valid[:, 1:].reshape(B * Ko, S)
 
@@ -662,8 +668,8 @@ class RMNetApply:
         flow: jnp.ndarray,         # (B, H, W, 2) flow t -> t-1
         gt_mask: jnp.ndarray,      # (B, K, H, W) gt one-hot at t (zeros at test
                                    #  time for frames without annotations)
-        any_new: jnp.ndarray,      # () bool — new objects revealed at t
-        commit: jnp.ndarray,       # () bool — commit frame t-1 to the bank
+        any_new: jnp.ndarray,      # () or (B,) bool — new objects revealed at t
+        commit: jnp.ndarray,       # () or (B,) bool — commit frame t-1
         obj_valid: jnp.ndarray,    # (B, K) bool — video-level object slots
     ) -> Tuple[VOSState, jnp.ndarray, Optional[Dict[str, Any]]]:
         """One timestep of the reference loop (models/rmnet.py:410-450).
@@ -672,9 +678,28 @@ class RMNetApply:
         logits; batch_stats is the updated BN collection (None unless
         ``train_bn``) — memorize-encoder stats then query-encoder stats,
         the reference's per-frame module-call order.
+
+        Two bank-write modes, selected by ``state.bank.cursor``'s rank:
+
+        * scalar cursor (training / single video / lockstep batch): one
+          shared commit decision, ``lax.cond``-guarded slot write — the
+          branch skips the write entirely on non-commit steps;
+        * ``(B,)`` cursor (ragged multi-stream serving): ``commit`` and
+          ``any_new`` are per-stream vectors, each stream writes at its own
+          ring position via a batched one-slot scatter (non-committing
+          streams rewrite their current slot content — a no-op — so a
+          single program serves every schedule; the reference's loop is
+          strictly per-video, core/test.py:59-118).
         """
         bank = state.bank
         B, K, S = bank.keys.shape[:3]
+        per_stream = bank.cursor.ndim == 1
+        any_new = jnp.asarray(any_new)
+        commit = jnp.asarray(commit)
+        if per_stream and commit.ndim == 0:
+            commit = jnp.broadcast_to(commit, (B,))
+        if per_stream and any_new.ndim == 0:
+            any_new = jnp.broadcast_to(any_new, (B,))
 
         # ---- memorize frame t-1 with its estimated mask
         prev_k, prev_v, prev_box, bn = self.memorize(
@@ -689,13 +714,32 @@ class RMNetApply:
         # grows without bound; a fixed ring is the TPU-native policy)
         write_pos = bank.cursor % S
 
-        def write(buf, item):
-            return jax.lax.cond(
-                commit,
-                lambda b: jax.lax.dynamic_update_index_in_dim(b, item, write_pos, axis=2),
-                lambda b: b,
-                buf,
-            )
+        if per_stream:
+            def write(buf, item):
+                # keep non-committing streams intact by writing back the
+                # slot's CURRENT content (a one-slot gather + scatter per
+                # stream — ~K*h*w*C elements, negligible vs the frame math;
+                # a lane-wide `where` over the whole bank would instead
+                # stream all of it through HBM every step)
+                cur = jax.vmap(
+                    lambda b, p: jax.lax.dynamic_index_in_dim(
+                        b, p, axis=1, keepdims=False)
+                )(buf, write_pos)  # (B, K, ...)
+                cb = commit.reshape((B,) + (1,) * (item.ndim - 1))
+                item = jnp.where(cb, item, cur)
+                return jax.vmap(
+                    lambda b, it, p: jax.lax.dynamic_update_index_in_dim(
+                        b, it, p, axis=1)
+                )(buf, item, write_pos)
+        else:
+            def write(buf, item):
+                return jax.lax.cond(
+                    commit,
+                    lambda b: jax.lax.dynamic_update_index_in_dim(
+                        b, item, write_pos, axis=2),
+                    lambda b: b,
+                    buf,
+                )
 
         new_keys = write(bank.keys, prev_k)
         new_values = write(bank.values, prev_v)
@@ -710,9 +754,16 @@ class RMNetApply:
         this_keys = jnp.concatenate([new_keys, prev_k[:, :, None]], axis=2)
         this_values = jnp.concatenate([new_values, prev_v[:, :, None]], axis=2)
         slot_idx = jnp.arange(S + 1)
-        slot_valid = slot_idx < jnp.minimum(bank.cursor, S)
-        slot_valid = slot_valid & ~(commit & (slot_idx == write_pos))
-        slot_valid = slot_valid.at[S].set(True)
+        if per_stream:
+            slot_valid = slot_idx[None] < jnp.minimum(bank.cursor, S)[:, None]
+            slot_valid = slot_valid & ~(
+                commit[:, None] & (slot_idx[None] == write_pos[:, None])
+            )
+            slot_valid = slot_valid.at[:, S].set(True)  # (B, S+1)
+        else:
+            slot_valid = slot_idx < jnp.minimum(bank.cursor, S)
+            slot_valid = slot_valid & ~(commit & (slot_idx == write_pos))
+            slot_valid = slot_valid.at[S].set(True)
 
         # ---- segment current frame (att map fused straight to the /16 grid)
         H, W = frame.shape[1:3]
@@ -729,7 +780,9 @@ class RMNetApply:
 
         # ---- new-object injection (models/rmnet.py:436-442)
         present = _present_objects(gt_mask)  # (B, K)
-        newly = present & (~state.exist) & any_new
+        newly = present & (~state.exist) & (
+            any_new[:, None] if any_new.ndim == 1 else any_new
+        )
         inj = gt_mask.astype(logit.dtype) * NEW_OBJECT_SCALE + NEW_OBJECT_BIAS
         logit = jnp.where(newly[:, :, None, None], inj, logit)
         exist = state.exist | newly
@@ -758,11 +811,14 @@ class RMNetApply:
         val_dim: int = 512,
         dtype=jnp.float32,
         kv_dtype=None,
+        per_stream_cursor: bool = False,
     ) -> VOSState:
         """``kv_dtype`` overrides the bank key/value buffer dtype — bf16
         training keeps masks/est f32 (soft_aggregation is f32-pinned) while
         the memorize heads emit bf16; the bank must match the heads or the
-        ring write rejects the dtype mix."""
+        ring write rejects the dtype mix. ``per_stream_cursor`` allocates a
+        ``(B,)`` cursor so each stream in the batch may follow its own
+        commit schedule (ragged multi-stream serving; see ``step``)."""
         B, K, H, W = masks0.shape
         from rmnet_tpu.ops.pad import divide_pads
 
@@ -773,7 +829,7 @@ class RMNetApply:
             keys=jnp.zeros((B, K, capacity, h, w, key_dim), kv_dtype),
             values=jnp.zeros((B, K, capacity, h, w, val_dim), kv_dtype),
             bboxes=jnp.zeros((B, K, capacity, 4), jnp.int32),
-            cursor=jnp.zeros((), jnp.int32),
+            cursor=jnp.zeros((B,) if per_stream_cursor else (), jnp.int32),
         )
         exist = _present_objects(masks0)
         return VOSState(
@@ -792,9 +848,9 @@ class RMNetApply:
         state: VOSState,
         frames: jnp.ndarray,        # (C, B, H, W, 3) chunk of frames
         gt_masks: jnp.ndarray,      # (C, B, K, H, W) one-hot (zeros when absent)
-        any_new: jnp.ndarray,       # (C,) bool
-        commit: jnp.ndarray,        # (C,) bool — commit decision for frame t-1
-        step_valid: jnp.ndarray,    # (C,) bool — False for tail padding
+        any_new: jnp.ndarray,       # (C,) or (C, B) bool
+        commit: jnp.ndarray,        # (C,) or (C, B) — commit frame t-1
+        step_valid: jnp.ndarray,    # (C,) or (C, B) bool — False for padding
         obj_valid: jnp.ndarray,     # (B, K) bool
         flows: Optional[jnp.ndarray] = None,  # (C, B, H, W, 2) when given
     ) -> Tuple[VOSState, jnp.ndarray]:
@@ -808,8 +864,13 @@ class RMNetApply:
         TinyFlowNet-estimated flows (core/test.py:87-88).
 
         ``step_valid`` masks tail padding: padded steps run but leave the
-        state untouched, so any chunk length divides any video length.
+        state untouched, so any chunk length divides any video length. The
+        ``(C, B)`` forms carry PER-STREAM flags (ragged multi-stream
+        serving): each stream freezes independently once past its own last
+        frame, and commits on its own schedule (requires a ``(B,)``-cursor
+        state, init_state(per_stream_cursor=True)).
         """
+        B = frames.shape[1]
 
         def body(carry, xs):
             if flows is None:
@@ -817,11 +878,37 @@ class RMNetApply:
                 flow = tfn_apply(frame, carry.prev_frame)
             else:
                 frame, gt_mask, new_t, commit_t, valid_t, flow = xs
+            # fold validity into the commit decision: a padded step's bank
+            # write becomes the no-op itself (cursor included), so the BIG
+            # state leaves (ring keys/values, ~hundreds of MB at capacity)
+            # never need a select-revert afterwards — only the frame-sized
+            # leaves below do
+            commit_t = commit_t & valid_t
             new_state, est, _ = self.step(
                 variables, carry, frame, flow, gt_mask, new_t, commit_t, obj_valid
             )
-            keep = lambda n, o: jnp.where(valid_t, n, o) if n.dtype == o.dtype else n
-            new_state = jax.tree_util.tree_map(keep, new_state, carry)
+            if valid_t.ndim == 0:
+                keep = lambda n, o: (
+                    jnp.where(valid_t, n, o) if n.dtype == o.dtype else n
+                )
+            else:
+                # per-stream freeze: broadcast the (B,) validity over each
+                # batch-leading leaf; the scalar frame counter ``t``
+                # advances while ANY stream is live
+                def keep(n, o):
+                    if n.dtype != o.dtype:
+                        return n
+                    if n.ndim >= 1 and n.shape[0] == B:
+                        v = valid_t.reshape((B,) + (1,) * (n.ndim - 1))
+                        return jnp.where(v, n, o)
+                    return jnp.where(jnp.any(valid_t), n, o)
+            new_state = VOSState(
+                bank=new_state.bank,  # protected by the masked commit
+                prev_mask=keep(new_state.prev_mask, carry.prev_mask),
+                prev_frame=keep(new_state.prev_frame, carry.prev_frame),
+                exist=keep(new_state.exist, carry.exist),
+                t=keep(new_state.t, carry.t),
+            )
             return new_state, est
 
         xs = (frames, gt_masks, any_new, commit, step_valid)

@@ -51,6 +51,9 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+    from rmnet_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     cfg = Config.from_file(args.cfg_file)
     cfg.apply_overrides(args.overrides)
 

@@ -84,6 +84,33 @@ def test_train_eval_ckpt_roundtrip(tiny_cfg):
     assert any("ckpt-best" in p for p in scores)
 
 
+def test_test_net_n_streams_parity(tiny_cfg):
+    """cfg.TEST.N_STREAMS=2 batches the val sweep through run_video_batch
+    (VERDICT r4 #2: serve the val set N-way) and must score exactly what
+    per-video serving scores."""
+    import copy
+
+    from rmnet_tpu.core.engine import InferenceEngine, build_models
+    from rmnet_tpu.core.test import test_net
+
+    cfg = copy.deepcopy(tiny_cfg)
+    cfg.CONST.WEIGHTS = ""  # deterministic fresh weights
+    _, _, rm_vars, tfn_vars = build_models(cfg, 0)
+
+    m1 = test_net(cfg, epoch_idx=-1,
+                  engine=InferenceEngine(cfg, rm_vars, tfn_vars))
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.TEST.N_STREAMS = 2
+    m2 = test_net(cfg2, epoch_idx=-1,
+                  engine=InferenceEngine(cfg2, rm_vars, tfn_vars))
+
+    s1, s2 = m1.state_dict(), m2.state_dict()
+    assert s1.keys() == s2.keys()
+    for k in s1:
+        np.testing.assert_allclose(s2[k], s1[k], rtol=1e-6, atol=1e-6,
+                                   err_msg=k)
+
+
 def test_runner_cli_overrides(tiny_cfg, tmp_path):
     """--set overrides + config file loading through the CLI arg path."""
     from rmnet_tpu.runner import get_args

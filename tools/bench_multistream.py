@@ -5,8 +5,8 @@ far below MXU saturation (bench.py est_mfu_device ~0.016) — so serving N
 videos batched on the model batch axis (engine.run_videos*) should multiply
 aggregate FPS/chip at sub-linear step-latency growth. This tool measures
 that curve on the live chip with bench.py's methodology (staged HBM inputs,
-dedicated warmups, median-of-5, device-only runs synced with a 1-element
-download).
+dedicated warmups, median-of-5 for BOTH the e2e and device-only loops,
+device-only runs synced with a 1-element download).
 
 Usage:  python tools/bench_multistream.py            # N in {1, 2, 4}
         MS_STREAMS=1,2,4,8 BENCH_FRAMES=48 python tools/bench_multistream.py
@@ -16,7 +16,10 @@ Prints one JSON line per stream count:
    "agg_fps_e2e": ..., "ms_per_step_device": ...}
 
 The e2e number downloads N label streams over this dev box's ~8 MB/s tunnel
-(not representative of real v5e host IO); agg_device_fps is the chip
+(not representative of real v5e host IO) and times the downloads only — the
+host-side _unpack_labels/argmax that engine.run_videos_labels also performs
+is excluded (it overlaps device compute in the real path, but strictly
+agg_fps_e2e is a transfer+compute number). agg_device_fps is the chip
 capability. Reference serves one video at a time (core/test.py:59-118).
 """
 
@@ -61,6 +64,15 @@ def main():
         labels[t, y:y + 120, 150:300] = 1
         if K > 2:
             labels[t, y + 40:y + 180, 450:620] = 2
+        # objects 3..: fixed grid + small cyclic drift. Every object gets a
+        # REAL localized regional box — an empty slot would fall back to
+        # the whole-frame bbox (n_pts<10, reference CUDA semantics) and
+        # erase the regional sparsity the K-scaling sweep is measuring.
+        for k in range(3, K):
+            r, c = divmod(k - 3, 3)
+            y0 = 270 + 80 * r + 2 * (t % 20)
+            x0 = 30 + 280 * c
+            labels[t, y0:y0 + 70, x0:x0 + 110] = k
     masks = np.stack([(labels == k) for k in range(K)], 1).astype(np.float32)
     n_objects = np.full((T,), K - 1, np.int32)
 
@@ -136,7 +148,7 @@ def main():
 
         run_e2e()  # compile + warm
         e2e = []
-        for _ in range(3):
+        for _ in range(5):
             tic = time.perf_counter()
             run_e2e()
             e2e.append(N * (T - 1) / (time.perf_counter() - tic))
