@@ -149,6 +149,12 @@ class Train:
     FLASH_ATTENTION: bool = False
     RESUME_FULL_STATE: bool = True  # restore epoch + optimizer (the
     # reference notably restarts its schedule on resume, core/train.py:85-98)
+    # >1: scan that many micro-batches inside the jitted step, average the
+    # gradients, apply ONE Adam update — effective batches past the HBM
+    # wall (B=32 at the reference crop needs 33.2 GB vs 15.75 GB on v5e;
+    # measured B-sweep in docs/PERFORMANCE.md — per-chip throughput peaks
+    # at B=8, so prefer DP over more chips first). Must divide BATCH_SIZE.
+    GRAD_ACCUM_STEPS: int = 1
 
 
 @dataclass

@@ -126,14 +126,56 @@ def make_train_step(cfg, apply: RMNetApply, tflownet, optimizer,
     object/batch headroom); "encoders" recomputes only the two ResNet-50
     interiors (they are the bulk of saved activations but only ~half the
     recompute; measured ~1.3x faster at reference scale, docs/PERFORMANCE.md);
-    "none" saves everything (fastest when it fits)."""
+    "none" saves everything (fastest when it fits).
+
+    ``cfg.TRAIN.GRAD_ACCUM_STEPS`` > 1 scans that many micro-batches inside
+    the one jitted step, averaging gradients before the single Adam update —
+    effective batches past the HBM wall (B=32 at the reference crop needs
+    33.2 GB vs 15.75 GB on v5e, docs/bench_logs_r05_bsweep.txt) at the
+    per-micro-batch activation footprint. Note the Lovász term sorts pixels
+    per micro-batch, so the accumulated gradient equals the mean of
+    micro-batch gradients (the standard accumulation semantics), not the
+    gradient of one fused-batch loss."""
     loss_fn = make_loss_fn(cfg, apply, tflownet, remat)
+    accum = max(1, int(getattr(cfg.TRAIN, "GRAD_ACCUM_STEPS", 1)))
+
+    def _grads_and_loss(params, extra_vars, batch):
+        if accum == 1:
+            (loss, bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, extra_vars, batch
+            )
+            return loss, bn, grads
+        has_bn = "batch_stats" in extra_vars and apply.train_bn
+        B0 = jax.tree_util.tree_leaves(batch)[0].shape[0]
+        if B0 % accum:
+            raise ValueError(
+                f"TRAIN.GRAD_ACCUM_STEPS={accum} must divide the batch "
+                f"size (got B={B0})"
+            )
+        micro = jax.tree_util.tree_map(
+            lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
+            batch,
+        )
+
+        def body(carry, mb):
+            gacc, ev = carry
+            (l, bn_i), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, ev, mb
+            )
+            if has_bn:
+                ev = {**ev, "batch_stats": bn_i}
+            gacc = jax.tree_util.tree_map(jnp.add, gacc, g)
+            return (gacc, ev), l
+
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (gsum, ev_out), losses = jax.lax.scan(body, (zeros, extra_vars), micro)
+        grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+        bn = ev_out["batch_stats"] if has_bn else None
+        return jnp.mean(losses), bn, grads
 
     @functools.partial(jax.jit, donate_argnums=(0, 1))
     def train_step(params, opt_state, extra_vars, batch, lr):
-        (loss, bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, extra_vars, batch
-        )
+        loss, bn, grads = _grads_and_loss(params, extra_vars, batch)
         updates, new_opt_state = optimizer.update(grads, opt_state, params)
         new_params = optax.apply_updates(
             params, jax.tree_util.tree_map(lambda u: -lr * u, updates)
